@@ -1,0 +1,184 @@
+"""Configuration system with CLI parity to the reference.
+
+Flag names, defaults, and semantics mirror the reference's single argparse
+namespace (reference: arguments.py:4-133) so ShapeNet/Pix3D experiment
+commands run unchanged; TPU-specific knobs are added at the bottom and are
+all optional.  ``--model``/``--dataset`` accept both reference dotted paths
+(``network.models.LIST``) and native ones (``list_tpu.models.LIST``); see
+list_tpu.registry for the mapping.
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser, Namespace
+from typing import Optional, Sequence
+
+CATLIST_13 = [
+    '03001627', '02691156', '02828884', '02933112', '03211117', '03636649',
+    '03691459', '04090263', '04256520', '04379243', '04530566', '02958343',
+    '04401088',
+]
+
+
+def _build_parser() -> ArgumentParser:
+    parser = ArgumentParser(description='Image_to_3D (TPU-native LIST)')
+    # Device flags.  `--cuda`/`--gpu` are accepted for CLI compatibility with
+    # the reference (arguments.py:6-7) but are no-ops: device selection is
+    # JAX-native (TPU if present, else CPU).
+    parser.add_argument('--cuda', type=bool, default=True)
+    parser.add_argument('--gpu', type=int, default=0)
+    parser.add_argument('--plot_every_batch', type=int, default=10)
+    parser.add_argument('--save_every_epoch', type=int, default=25)
+    parser.add_argument('--save_after_epoch', type=int, default=1)
+    parser.add_argument('--test_every_epoch', type=int, default=25)
+    parser.add_argument('--load_pretrain', type=bool, default=True)
+    parser.add_argument('--skip_train', action='store_true')
+
+    parser.add_argument('--viewnum', type=int, default=36)
+    parser.add_argument('--img_res', type=int, default=224)
+    parser.add_argument('--mcube_znum', type=int, default=128)
+    parser.add_argument('--test_pointnum', type=int, default=65536)
+    parser.add_argument('--chunk_s', type=int, default=0)
+    parser.add_argument('--chunk_l', type=int, default=217)
+
+    parser.add_argument('--chunk_id', type=int, default=0)
+    parser.add_argument('--chunk_num', type=int, default=4)
+
+    # Required. Model & Dataset identifier (dotted path, see registry).
+    parser.add_argument('--model', type=str, help='Dotted path of the model')
+    parser.add_argument('--dataset', type=str, help='Dotted path of the dataset')
+
+    # Data augmentation (reference: arguments.py:32-34)
+    parser.add_argument('--random_h_flip', action='store_true')
+    parser.add_argument('--color_jitter', action='store_true')
+    parser.add_argument('--normalize', action='store_true')
+
+    # Model components
+    parser.add_argument('--point_decoder', action='store_true')
+    parser.add_argument('--warm_start', action='store_true')
+
+    parser.add_argument('--lr', type=float, default=0.0001)
+    parser.add_argument('--beta1', type=float, default=0.9)
+    parser.add_argument('--cam_batch_size', type=int, default=16)
+    parser.add_argument('--cam_lr', type=float, default=0.00005)
+    parser.add_argument('--train_batch_size', type=int, default=12)
+    parser.add_argument('--test_batch_size', type=int, default=1)
+    parser.add_argument('--epochs', type=int, default=300)
+    parser.add_argument('--sampling_mode', type=str, default='weighted')
+    parser.add_argument('--exp_name', '-e', type=str, default='d2im+tGCN')
+    parser.add_argument('--eval_pred', action='store_true')
+    parser.add_argument('--supervise_proj', action='store_true')
+    parser.add_argument('--coarse_point_density', type=int, default=10000)
+    parser.add_argument('--sample_point_density', type=int, default=32768)
+    parser.add_argument('--sdf_max_dist', type=float, default=1.0)
+    parser.add_argument('--sdf_scale', type=float, default=1.0)
+
+    parser.add_argument('--weight_decay', type=float, default=1e-5)
+    parser.add_argument('--sigmas', type=float, nargs='+',
+                        default=[0.003, 0.01, 0.07])
+    parser.add_argument('--sample_distribution', type=float, nargs='+',
+                        default=[0.5, 0.49, 0.01])
+
+    parser.add_argument('--point_feat', type=int,
+                        default=[128, 128, 256, 256, 256, 128, 128, 3],
+                        nargs='+', help='Features for point decoder.')
+    parser.add_argument('--point_degree', type=int,
+                        default=[2, 2, 2, 2, 2, 2, 64], nargs='+',
+                        help='Upsample degrees for point decoder.')
+    parser.add_argument('--im_enc_layers', type=int,
+                        default=[1, 1, 1, 1, 16, 32, 64, 128, 128], nargs='+',
+                        help='Layer dimensions for the voxel encoder.')
+
+    parser.add_argument('--n_decoder_pos', type=int, default=2)
+    parser.add_argument('--bb_min', type=float, default=-0.5,
+                        help='Bounding box minimum.')
+    parser.add_argument('--bb_max', type=float, default=0.5,
+                        help='Bounding box maximum.')
+    parser.add_argument('--vox_res', type=int, default=128,
+                        help='Bounding box res.')
+
+    parser.add_argument('--data_dir', default='./Datasets/shapenet/')
+    parser.add_argument('--mesh_dir', default='./Datasets/shapenet/mesh/')
+    parser.add_argument('--h5_dir', default='./Datasets/shapenet/sampled_points/')
+    parser.add_argument('--cam_dir', default='./Datasets/shapenet/images/')
+    parser.add_argument('--image_dir', default='./Datasets/shapenet/images/')
+    parser.add_argument('--catlist', type=str, default=list(CATLIST_13),
+                        nargs='+', help='category list.')
+
+    parser.add_argument('--output_dir', default='./results/')
+    parser.add_argument('--test_cam_id', type=int, default=2,
+                        help='Cam id to test with.')
+    parser.add_argument('--test_gpu_id', type=int, default=0,
+                        help='Accepted for compatibility; unused on TPU.')
+    parser.add_argument('--test_checkpoint', default='best_model_test.ckpt')
+    parser.add_argument('--testlist_file',
+                        default='./data/DISN_split/testlist_all.lst')
+
+    # ---- TPU-native additions (not present in the reference) ----
+    parser.add_argument('--seed', type=int, default=333,
+                        help='Global PRNG seed (reference seeds torch with 333).')
+    parser.add_argument('--mesh_shape', type=int, nargs='+', default=None,
+                        help='Device mesh shape, e.g. "--mesh_shape 8" for 8-way '
+                             'data parallelism. Default: all local devices on one '
+                             'data axis.')
+    parser.add_argument('--dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='Compute dtype for the model forward pass.')
+    parser.add_argument('--use_pallas', type=int, default=1,
+                        help='Use Pallas TPU kernels for the SDF decode path '
+                             'when running on TPU (1) or the XLA fallback (0).')
+    parser.add_argument('--remat', type=int, default=1,
+                        help='Rematerialize the voxel encoder in training to '
+                             'trade FLOPs for HBM.')
+    parser.add_argument('--profile_dir', type=str, default='',
+                        help='If set, write a jax.profiler trace here.')
+    parser.add_argument('--num_workers', type=int, default=4)
+    parser.add_argument('--checkify', action='store_true',
+                        help='Enable jax.experimental.checkify NaN/inf guards '
+                             'in the train step (debugging).')
+    return parser
+
+
+def _finalize(args: Namespace) -> Namespace:
+    """Derive testlist/dirs exactly like the reference (arguments.py:110-133)."""
+    testlist = []
+    if args.testlist_file and os.path.exists(args.testlist_file):
+        with open(args.testlist_file, 'r') as f:
+            lines = f.readlines()
+        for l in lines[:30]:
+            fn = l.strip()
+            if fn:
+                fn = fn.split(' ')
+                if fn[0] in args.catlist:
+                    testlist.append(
+                        {'cat_id': fn[0], 'shape_id': fn[1], 'cam_id': fn[2]})
+    args.testlist = testlist
+
+    args.checkpoint_dir = args.output_dir + args.exp_name + '/checkpoints/'
+    args.results_dir = args.output_dir + args.exp_name + '/'
+    args.log = args.output_dir + args.exp_name + '/log.txt'
+    return args
+
+
+def get_args(argv: Optional[Sequence[str]] = None) -> Namespace:
+    """Parse CLI args (pass ``argv`` for programmatic use)."""
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+    return _finalize(args)
+
+
+def default_config(**overrides) -> Namespace:
+    """Programmatic config with the same defaults as the CLI.
+
+    ``overrides`` are applied before derived fields (testlist, dirs) are
+    computed, so e.g. ``default_config(exp_name='t')`` affects the derived
+    ``checkpoint_dir``.
+    """
+    parser = _build_parser()
+    args = parser.parse_args([])
+    for k, v in overrides.items():
+        if not hasattr(args, k):
+            raise ValueError(f'Unknown config field: {k}')
+        setattr(args, k, v)
+    return _finalize(args)

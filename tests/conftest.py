@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-virtual-device CPU platform.
+
+Sharding/multi-chip paths are exercised on a virtual CPU mesh
+(``xla_force_host_platform_device_count=8``); real-TPU execution is covered
+by bench.py and the driver's compile checks.
+"""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('JAX_ENABLE_X64', '0')
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(333)

@@ -1,0 +1,83 @@
+"""grid_sample / interpolate parity vs torch.nn.functional (CPU oracle)."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from list_tpu.ops import (grid_sample_2d, grid_sample_3d,
+                          resize_bilinear_align_corners)
+
+
+def _rand_grid(rng, shape, lo=-1.3, hi=1.3):
+    return rng.uniform(lo, hi, size=shape).astype(np.float32)
+
+
+def test_grid_sample_2d_zeros_align(rng):
+    B, H, W, C, N = 2, 9, 7, 5, 33
+    img = rng.randn(B, H, W, C).astype(np.float32)
+    grid = _rand_grid(rng, (B, N, 2))
+
+    ours = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(grid),
+                                     padding_mode='zeros', align_corners=True))
+    ref = F.grid_sample(torch.tensor(img).permute(0, 3, 1, 2),
+                        torch.tensor(grid).unsqueeze(1),
+                        mode='bilinear', padding_mode='zeros',
+                        align_corners=True)  # (B, C, 1, N)
+    ref = ref.squeeze(2).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_grid_sample_2d_border(rng):
+    B, H, W, C, N = 1, 137, 137, 3, 50
+    img = rng.randn(B, H, W, C).astype(np.float32)
+    grid = _rand_grid(rng, (B, N, 2), -2.0, 2.0)
+    ours = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(grid),
+                                     padding_mode='border', align_corners=True))
+    ref = F.grid_sample(torch.tensor(img).permute(0, 3, 1, 2),
+                        torch.tensor(grid).unsqueeze(1), mode='bilinear',
+                        padding_mode='border', align_corners=True)
+    ref = ref.squeeze(2).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_grid_sample_3d_border(rng):
+    """The VoxelDecoder2 configuration (modules.py:263-265)."""
+    B, D, H, W, C, N = 2, 8, 6, 5, 4, 40
+    vol = rng.randn(B, D, H, W, C).astype(np.float32)
+    grid = _rand_grid(rng, (B, N, 3), -1.6, 1.6)
+    ours = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(grid),
+                                     padding_mode='border', align_corners=True))
+    # torch: input (B, C, D, H, W), grid (B, 1, 1, N, 3)
+    ref = F.grid_sample(torch.tensor(vol).permute(0, 4, 1, 2, 3),
+                        torch.tensor(grid).unsqueeze(1).unsqueeze(1),
+                        mode='bilinear', padding_mode='border',
+                        align_corners=True)  # (B, C, 1, 1, N)
+    ref = ref.squeeze(2).squeeze(2).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_grid_sample_3d_zeros(rng):
+    B, D, H, W, C, N = 1, 5, 5, 5, 2, 64
+    vol = rng.randn(B, D, H, W, C).astype(np.float32)
+    grid = _rand_grid(rng, (B, N, 3), -1.8, 1.8)
+    ours = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(grid),
+                                     padding_mode='zeros', align_corners=True))
+    ref = F.grid_sample(torch.tensor(vol).permute(0, 4, 1, 2, 3),
+                        torch.tensor(grid).unsqueeze(1).unsqueeze(1),
+                        mode='bilinear', padding_mode='zeros',
+                        align_corners=True)
+    ref = ref.squeeze(2).squeeze(2).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_resize_bilinear_align_corners(rng):
+    """PerceptualPooling resize parity (modules.py:26-35): all 5 pyramid sizes."""
+    for size in [224, 56, 28, 14, 7]:
+        img = rng.randn(1, size, size, 3).astype(np.float32)
+        ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(img), 137, 137))
+        ref = F.interpolate(torch.tensor(img).permute(0, 3, 1, 2), size=137,
+                            mode='bilinear', align_corners=True)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5,
+                                   err_msg=f'resize {size}->137')

@@ -1,0 +1,141 @@
+"""The two LIST models (flax): CoarseNet (stage 1) and LIST (stage 2).
+
+CoarseNet (reference: network/models.py:14-35): image -> ResEncoder global
+feature (128) -> TreeGraphDecoder -> (B, 4096, 3) coarse point cloud.
+
+LIST (reference: network/models.py:38-112): full single-view SDF model.
+Differences by design (TPU-first):
+- The coarse-cloud voxelization happens **in-jit** as a quantization scatter
+  with stop_gradient (the reference does a device->host cKDTree round trip
+  inside forward, models.py:102-112; gradients were blocked by pc.detach()).
+- Channels-last layouts everywhere; images are (B, H, W, 3).
+- ``encode``/``decode_sdf`` split out so chunked dense-grid inference can run
+  the encoders once and stream query chunks (reference executor does this
+  manually through model.module.*, executors.py:200-224).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from list_tpu.models.init import make_torch_bias, torch_linear_kernel
+from list_tpu.models.percep import PerceptualPooling
+from list_tpu.models.pointmlp import PointMLP
+from list_tpu.models.resnet import ResEncoder
+from list_tpu.models.treegcn import TreeGraphDecoder
+from list_tpu.models.voxel import VoxelDecoder2, VoxelEncoder2
+from list_tpu.ops.grid import reorder_and_scale_query, voxelize
+
+DEFAULT_POINT_FEAT = (128, 128, 256, 256, 256, 128, 128, 3)
+DEFAULT_POINT_DEGREE = (2, 2, 2, 2, 2, 2, 64)
+DEFAULT_IM_ENC_LAYERS = (1, 1, 1, 1, 16, 32, 64, 128, 128)
+
+
+class CoarseNet(nn.Module):
+    """Stage-1 coarse point-cloud predictor."""
+    point_feat: Sequence[int] = DEFAULT_POINT_FEAT
+    point_degree: Sequence[int] = DEFAULT_POINT_DEGREE
+    support: int = 10
+
+    @classmethod
+    def from_config(cls, config) -> 'CoarseNet':
+        return cls(point_feat=tuple(config.point_feat),
+                   point_degree=tuple(config.point_degree))
+
+    def setup(self):
+        self.image_encoder = ResEncoder()
+        self.point_decoder = TreeGraphDecoder(
+            features=tuple(self.point_feat),
+            degrees=tuple(self.point_degree), support=self.support)
+
+    def __call__(self, rgba: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        featvec, _ = self.image_encoder(rgba, train)
+        return self.point_decoder([featvec[:, None, :]])
+
+
+class SpatialTransformer(nn.Module):
+    """MLP 640 -> 128 -> 128 -> 12 with LeakyReLU(0.2)+BatchNorm1d, reshaped
+    to a (B, 4, 3) learned camera projection (reference: models.py:60-68)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i in range(2):
+            x = nn.Dense(128, kernel_init=torch_linear_kernel,
+                         bias_init=make_torch_bias(x.shape[-1]),
+                         name=f'fc{i}')(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f'bn{i}')(x)
+        x = nn.Dense(12, kernel_init=torch_linear_kernel,
+                     bias_init=make_torch_bias(x.shape[-1]), name='fc2')(x)
+        return x.reshape(-1, 4, 3)
+
+
+class LIST(nn.Module):
+    """Stage-2 full model: image + query points -> (occ_pred, sdf)."""
+    vox_res: int = 128
+    bb_min: float = -0.5
+    bb_max: float = 0.5
+    point_feat: Sequence[int] = DEFAULT_POINT_FEAT
+    point_degree: Sequence[int] = DEFAULT_POINT_DEGREE
+    im_enc_layers: Sequence[int] = DEFAULT_IM_ENC_LAYERS
+    h_dim: int = 256
+    support: int = 10
+
+    @classmethod
+    def from_config(cls, config) -> 'LIST':
+        return cls(vox_res=config.vox_res, bb_min=config.bb_min,
+                   bb_max=config.bb_max, point_feat=tuple(config.point_feat),
+                   point_degree=tuple(config.point_degree),
+                   im_enc_layers=tuple(config.im_enc_layers))
+
+    def setup(self):
+        self.vox_encoder = VoxelEncoder2(layers=tuple(self.im_enc_layers))
+        self.sdf_decoder = VoxelDecoder2(h_dim=self.h_dim)
+        self.percep_pooling = PerceptualPooling()
+        self.im_encoder = ResEncoder()
+        self.im_encoder2 = ResEncoder()
+        self.point_decoder = TreeGraphDecoder(
+            features=tuple(self.point_feat),
+            degrees=tuple(self.point_degree), support=self.support)
+        self.point_mlp_coarse = PointMLP()
+        self.spatial_transformer = SpatialTransformer()
+
+    def encode(self, img: jnp.ndarray, train: bool = False,
+               trans_mat: Optional[jnp.ndarray] = None) -> Dict[str, Any]:
+        """Run everything that is query-independent once per image."""
+        feat_g, _ = self.im_encoder(img, train)
+        feat_g2, feat_l2 = self.im_encoder2(img, train)
+        pc = self.point_decoder([feat_g[:, None, :]])  # (B, 4096, 3)
+
+        feat_coarse = self.point_mlp_coarse(pc, train)  # (B, 4096, 512)
+        feat_coarse = jnp.max(feat_coarse, axis=1)  # torch max over points
+        feat_g2 = feat_g2.reshape(img.shape[0], -1)
+        feat_coarse_im = jnp.concatenate([feat_coarse, feat_g2], axis=1)
+        if trans_mat is None:
+            trans_mat = self.spatial_transformer(feat_coarse_im, train)
+
+        occ = voxelize(pc, self.bb_min, self.bb_max, self.vox_res,
+                       dtype=img.dtype)
+        vox_feat = self.vox_encoder(occ, train)
+        return {'pc': pc, 'trans_mat': trans_mat, 'occ_in': occ,
+                'vox_feat': vox_feat, 'feat_l2': feat_l2}
+
+    def decode_sdf(self, query: jnp.ndarray, enc: Dict[str, Any]) -> jnp.ndarray:
+        """query: (B, N, 3) world coords in [bb_min, bb_max] -> (B, N) sdf."""
+        q = reorder_and_scale_query(query)
+        percep = self.percep_pooling(enc['feat_l2'], q, enc['trans_mat'])
+        return self.sdf_decoder(q, enc['vox_feat'], percep)
+
+    def __call__(self, img: jnp.ndarray, query: jnp.ndarray,
+                 trans_mat: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (occ_pred (B,R,R,R), sdf (B,N)) like the reference forward
+        (models.py:73-100, which returns vox_feat[0] and sdf)."""
+        enc = self.encode(img, train, trans_mat)
+        sdf = self.decode_sdf(query, enc)
+        occ_pred = enc['vox_feat'][0][..., 0]
+        return occ_pred, sdf

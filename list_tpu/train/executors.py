@@ -1,0 +1,272 @@
+"""Executors: per-model train/test/eval/save logic (reference:
+network/executors.py:26-268).
+
+API parity: ``.train(batch)`` -> (pred, loss_dict), ``.test(batch,
+eval_pred)`` -> (pred, eval_score), ``.eval(pred, gt)``, ``.save(batch,
+pred, fname)``.  The executor owns the TrainState and the jitted step
+functions; batches are host numpy dicts.
+
+TPU-first differences:
+- the train step is a single jitted (and donated) function: forward, loss,
+  grad, optimizer, batch-stat update all fuse into one XLA program.
+- LIST inference runs the encoders once and streams the dense grid through
+  a jitted chunk decoder with the query axis sharded across the mesh
+  (reference loops 32 chunks with 64 host<->device crossings,
+  executors.py:215-224).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from list_tpu.eval.metrics import eval_mesh, eval_pointcloud
+from list_tpu.ops import (chamfer_loss, create_grid_points_from_bounds,
+                          occupancy_loss, sdf_loss)
+from list_tpu.parallel import (auto_mesh, batch_sharding, make_mesh,
+                               query_sharding, replicated, shard_batch)
+from list_tpu.train.state import TrainState, make_optimizer
+from list_tpu.utils import generate_mesh, write_obj
+
+
+def _to_float_dict(d: Dict[str, jnp.ndarray]) -> Dict[str, float]:
+    return {k: float(v) for k, v in d.items()}
+
+
+def total_loss(loss_dict: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Sum of all entries whose key does not contain 'ignore'
+    (reference: train.py:73-75)."""
+    total = 0.0
+    for k, v in loss_dict.items():
+        if 'ignore' not in k:
+            total = total + v
+    return total
+
+
+class BaseExecutor:
+    model_cls = None
+
+    def __init__(self, config, model, state: Optional[TrainState] = None,
+                 mesh=None, init_rng: Optional[jax.Array] = None):
+        self.config = config
+        self.model = model
+        if mesh is not None:
+            self.mesh = mesh
+        elif getattr(config, 'mesh_shape', None):
+            self.mesh = make_mesh(config.mesh_shape)
+        else:
+            # 1-D data mesh sized to divide the train batch.
+            self.mesh = auto_mesh(config.train_batch_size)
+        self.dtype = jnp.bfloat16 if getattr(config, 'dtype', 'float32') \
+            == 'bfloat16' else jnp.float32
+        self._rng = init_rng if init_rng is not None else jax.random.PRNGKey(
+            getattr(config, 'seed', 333))
+        self.state = state
+
+    # -- state management ----------------------------------------------------
+    def init_state(self, sample_batch: Dict[str, np.ndarray],
+                   frozen_prefixes=()) -> TrainState:
+        variables = self._init_variables(sample_batch)
+        tx = make_optimizer(self.config.lr, self.config.beta1,
+                            weight_decay=self.config.weight_decay,
+                            frozen_prefixes=frozen_prefixes)
+        state = TrainState.create(variables['params'],
+                                  variables.get('batch_stats', {}), tx)
+        # replicate across the mesh
+        state = jax.device_put(state, replicated(self.mesh))
+        self.state = state
+        return state
+
+    def train(self, batch, calc_loss=True):
+        raise NotImplementedError
+
+
+class CoarseNetExecutor(BaseExecutor):
+    """Stage-1 executor (reference: executors.py:26-99)."""
+
+    def __init__(self, config, model, **kw):
+        super().__init__(config, model, **kw)
+        self.coarse_points = config.coarse_point_density
+        self.eval_fn = eval_pointcloud
+        self._train_step = jax.jit(self._train_step_fn, donate_argnums=0)
+        self._predict = jax.jit(self._predict_fn)
+
+    def _init_variables(self, batch):
+        img = jnp.zeros_like(jnp.asarray(batch['rgb_image']))
+        return self.model.init(self._rng, img)
+
+    def _train_step_fn(self, state: TrainState, batch):
+        def loss_fn(params):
+            pred, updates = self.model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch['rgb_image'], train=True, mutable=['batch_stats'])
+            loss = chamfer_loss(pred, batch['pc'])
+            return loss, (pred, updates['batch_stats'])
+
+        (loss, (pred, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        return state, {'chamfer_loss': loss}
+
+    def _predict_fn(self, state: TrainState, img):
+        return self.model.apply({'params': state.params,
+                                 'batch_stats': state.batch_stats}, img)
+
+    def train(self, batch, calc_loss: bool = True):
+        batch = {'rgb_image': batch['rgb_image'], 'pc': batch['pc']}
+        batch = shard_batch(self.mesh, batch)
+        self.state, losses = self._train_step(self.state, batch)
+        return None, losses
+
+    def test(self, batch, eval_pred: bool = False):
+        if isinstance(batch, dict):
+            rgb, gt = batch['rgb_image'], batch.get('pc')
+        else:
+            rgb, gt = batch
+        pred = np.asarray(self._predict(self.state, jnp.asarray(rgb)))
+        eval_score = self.eval(pred, np.asarray(gt)) if eval_pred else {}
+        return pred, eval_score
+
+    def eval(self, pred, gt) -> Dict[str, float]:
+        if pred.shape[0] > 1:
+            print('Evaluation of multiple predictions (batch_size > 1) '
+                  'is not allowed.')
+            return {}
+        pred = np.asarray(pred)[0]
+        gt = np.asarray(gt)[0] if gt.ndim == 3 else np.asarray(gt)
+        if pred.shape[0] != gt.shape[0]:
+            sample_pids = np.random.randint(gt.shape[0], size=pred.shape[0])
+            gt = gt[sample_pids, :]
+        return self.eval_fn(pred, gt)
+
+    def save(self, batch, pred, fname: str):
+        pred = np.asarray(pred)
+        if pred.shape[0] > 1:
+            print('Saving multiple predictions (batch_size > 1) '
+                  'is not allowed.')
+            return {}
+        write_obj(fname + '_pred.obj', pred[0], [])
+
+
+class LISTExecutor(BaseExecutor):
+    """Stage-2 executor (reference: executors.py:102-268)."""
+
+    def __init__(self, config, model, **kw):
+        super().__init__(config, model, **kw)
+        self.test_pointnum = config.test_pointnum
+        self.sdf_scale = config.sdf_scale
+        self.max_dist = config.sdf_max_dist
+        self.mcube_znum = config.mcube_znum
+        self.bb_min = config.bb_min
+        self.bb_max = config.bb_max
+        self.vox_res = config.vox_res
+        self.eval_fn = eval_mesh
+        self._grid_chunks = None
+        self._train_step = jax.jit(self._train_step_fn, donate_argnums=0)
+        self._encode = jax.jit(self._encode_fn)
+        self._decode = jax.jit(self._decode_fn)
+
+    def _init_variables(self, batch):
+        img = jnp.zeros_like(jnp.asarray(batch['rgb_image']))
+        # tiny query set for init (shape-independent params)
+        query = jnp.zeros((img.shape[0], 8, 3), img.dtype)
+        return self.model.init(self._rng, img, query)
+
+    def calc_loss(self, pred, gt) -> Dict[str, jnp.ndarray]:
+        occ_pred, sdf_pred = pred
+        occ_gt, sdf_gt = gt
+        losses = {'occ_loss': occupancy_loss(occ_pred, occ_gt)}
+        losses.update(sdf_loss(sdf_pred, sdf_gt, self.sdf_scale))
+        return losses
+
+    def _train_step_fn(self, state: TrainState, batch):
+        trans_mat = batch.get('transmat')
+
+        def loss_fn(params):
+            (occ_pred, sdf_pred), updates = self.model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch['rgb_image'], batch['points'], trans_mat, True,
+                mutable=['batch_stats'])
+            losses = self.calc_loss((occ_pred, sdf_pred),
+                                    (batch['occ'], batch['values']))
+            return total_loss(losses), (losses, updates['batch_stats'])
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        return state, losses
+
+    def _encode_fn(self, state: TrainState, img, trans_mat=None):
+        return self.model.apply({'params': state.params,
+                                 'batch_stats': state.batch_stats}, img,
+                                train=False, trans_mat=trans_mat,
+                                method=self.model.encode)
+
+    def _decode_fn(self, state: TrainState, query, enc):
+        return self.model.apply({'params': state.params,
+                                 'batch_stats': state.batch_stats}, query,
+                                enc, method=self.model.decode_sdf)
+
+    # -- training ------------------------------------------------------------
+    def train(self, batch, calc_loss: bool = True):
+        keep = {k: batch[k] for k in ('rgb_image', 'points', 'values', 'occ')}
+        if 'transmat' in batch:
+            keep['transmat'] = batch['transmat']
+        keep = shard_batch(self.mesh, keep)
+        self.state, losses = self._train_step(self.state, keep)
+        return None, losses
+
+    # -- dense-grid inference ------------------------------------------------
+    def create_grid(self) -> np.ndarray:
+        return create_grid_points_from_bounds(self.bb_min, self.bb_max,
+                                              self.vox_res)
+
+    def _get_grid_chunks(self):
+        if self._grid_chunks is None:
+            grid = create_grid_points_from_bounds(-0.5, 0.5, self.vox_res)
+            grid = grid.astype(np.float32)[None]  # (1, R^3, 3)
+            n = grid.shape[1]
+            chunk = self.test_pointnum
+            self._grid_chunks = [
+                jnp.asarray(grid[:, s:s + chunk])
+                for s in range(0, n, chunk)]
+        return self._grid_chunks
+
+    def predict_grid(self, rgb_image: np.ndarray,
+                     trans_mat: Optional[np.ndarray] = None) -> np.ndarray:
+        """Dense (vox_res^3) SDF field for one image; features computed once,
+        query chunks streamed through the jitted decoder."""
+        img = jnp.asarray(rgb_image)
+        enc = self._encode(self.state, img,
+                           None if trans_mat is None
+                           else jnp.asarray(trans_mat))
+        qsh = query_sharding(self.mesh)
+        vals = []
+        for chunk in self._get_grid_chunks():
+            chunk = jax.device_put(chunk, qsh)
+            vals.append(self._decode(self.state, chunk, enc))
+        pred = jnp.concatenate(vals, axis=1)
+        pred = np.asarray(pred).reshape((self.vox_res,) * 3)
+        return pred / self.sdf_scale
+
+    def test(self, batch, eval_pred: bool = False):
+        img = batch['rgb_image']
+        mesh_gt = batch.get('gt_mesh')
+        trans_mat = batch.get('transmat')
+        pred_values = self.predict_grid(img, trans_mat)
+        pred_mesh = generate_mesh(pred_values, -0.5, 0.5,
+                                  as_trimesh_obj=True)
+        eval_score = (self.eval(pred_mesh, mesh_gt)
+                      if eval_pred and mesh_gt is not None else {})
+        return [pred_mesh, pred_values], eval_score
+
+    def eval(self, pred, gt) -> Dict[str, float]:
+        return self.eval_fn(pred, gt, self.bb_min, self.bb_max)
+
+    def save(self, batch, pred, fname: str):
+        pred_mesh = pred[0]
+        pred_mesh.export(fname + '_pred.obj')

@@ -135,7 +135,7 @@ def test_list_train_mode_mutates_stats(tiny_list_model):
 
 
 def test_coarsenet_forward():
-    m = CoarseNet(point_feat=(16, 8, 8, 3), point_degree=(2, 2, 4), support=2)
+    m = CoarseNet(point_feat=(128, 8, 8, 3), point_degree=(2, 2, 4), support=2)
     img = jnp.ones((2, 32, 32, 3))
     vars_ = m.init(jax.random.PRNGKey(0), img)
     pc = m.apply(vars_, img)

@@ -1,0 +1,169 @@
+"""Training-stack tests: executors, optimizer parity, checkpoints,
+warm-start freezing, and a CoarseNet overfit smoke test (CPU, tiny config).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from list_tpu.config import default_config
+from list_tpu.data import SyntheticSDFDataset, collate
+from list_tpu.models import CoarseNet, LIST
+from list_tpu.train import (CoarseNetExecutor, LISTExecutor, checkpoints,
+                            total_loss)
+from list_tpu.train.state import make_optimizer
+
+
+def tiny_cfg(**kw):
+    base = dict(vox_res=16, img_res=32, sample_point_density=128,
+                coarse_point_density=500, train_batch_size=2,
+                point_feat=[128, 8, 8, 3], point_degree=[2, 2, 4],
+                im_enc_layers=[1, 1, 1, 1, 2, 4, 4, 4], sdf_scale=10.0,
+                test_pointnum=1024, lr=1e-3)
+    base.update(kw)
+    return default_config(**base)
+
+
+def make_batch(cfg, n_shapes=2):
+    ds = SyntheticSDFDataset(cfg, 'train', n_shapes=n_shapes)
+    return collate([ds[i] for i in range(cfg.train_batch_size)]), ds
+
+
+def test_total_loss_ignores_diagnostics():
+    d = {'a': jnp.asarray(1.0), 'ignore_b': jnp.asarray(100.0),
+         'c': jnp.asarray(2.0)}
+    assert float(total_loss(d)) == 3.0
+
+
+def test_optimizer_matches_torch_adam(rng):
+    """One optimizer step vs torch.optim.Adam with coupled weight decay."""
+    import torch
+    w0 = rng.randn(4, 3).astype(np.float32)
+    g = rng.randn(4, 3).astype(np.float32)
+    lr, wd = 1e-3, 1e-2
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adam([tw], lr=lr, betas=(0.9, 0.999), weight_decay=wd)
+    tw.grad = torch.tensor(g.copy())
+    opt.step()
+
+    tx = make_optimizer(lr, weight_decay=wd)
+    params = {'w': jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    updates, _ = tx.update({'w': jnp.asarray(g)}, opt_state, params)
+    new_w = np.asarray(params['w'] + updates['w'])
+    np.testing.assert_allclose(new_w, tw.detach().numpy(), atol=1e-6)
+
+
+def test_frozen_prefixes_zero_updates(rng):
+    tx = make_optimizer(1e-3, frozen_prefixes=('enc',))
+    params = {'enc': {'w': jnp.ones((2,))}, 'dec': {'w': jnp.ones((2,))}}
+    opt_state = tx.init(params)
+    grads = {'enc': {'w': jnp.ones((2,))}, 'dec': {'w': jnp.ones((2,))}}
+    updates, _ = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(updates['enc']['w']).sum()) == 0.0
+    assert float(jnp.abs(updates['dec']['w']).sum()) > 0.0
+
+
+@pytest.fixture(scope='module')
+def coarse_exec():
+    cfg = tiny_cfg(lr=1e-4)  # reference lr; 1e-3 oscillates with chamfer*1000
+    model = CoarseNet(point_feat=tuple(cfg.point_feat),
+                      point_degree=tuple(cfg.point_degree), support=2)
+    ex = CoarseNetExecutor(cfg, model)
+    batch, ds = make_batch(cfg)
+    batch = {'rgb_image': batch['rgb_image'], 'pc': batch['pc'][:, :500]}
+    ex.init_state(batch)
+    return ex, batch
+
+
+def test_coarsenet_overfit_smoke(coarse_exec):
+    ex, batch = coarse_exec
+    losses = []
+    for _ in range(10):
+        _, loss = ex.train(batch)
+        losses.append(float(loss['chamfer_loss']))
+    assert losses[-1] < losses[0] / 2, f'loss did not decrease: {losses}'
+    assert np.isfinite(losses).all()
+
+
+def test_coarsenet_test_and_save(coarse_exec, tmp_path):
+    ex, batch = coarse_exec
+    pred, score = ex.test({'rgb_image': batch['rgb_image'][:1],
+                           'pc': batch['pc'][:1]}, eval_pred=True)
+    assert pred.shape[0] == 1 and pred.shape[2] == 3
+    assert 'chamfer_l2' in score
+    ex.save(None, pred, str(tmp_path / 'shape'))
+    assert os.path.exists(tmp_path / 'shape_pred.obj')
+
+
+@pytest.fixture(scope='module')
+def list_exec():
+    cfg = tiny_cfg()
+    model = LIST(vox_res=cfg.vox_res, point_feat=tuple(cfg.point_feat),
+                 point_degree=tuple(cfg.point_degree),
+                 im_enc_layers=tuple(cfg.im_enc_layers), h_dim=8, support=2)
+    ex = LISTExecutor(cfg, model)
+    batch, ds = make_batch(cfg)
+    ex.init_state(batch)
+    return ex, batch, ds
+
+
+def test_list_train_step(list_exec):
+    ex, batch, _ = list_exec
+    _, losses = ex.train(batch)
+    for key in ('occ_loss', 'sdf_loss', 'ignore_sdf_accuracy'):
+        assert key in losses
+    assert np.isfinite(float(losses['occ_loss']))
+    assert np.isfinite(float(losses['sdf_loss']))
+    # second step: loss finite and state advanced
+    _, losses2 = ex.train(batch)
+    assert int(ex.state.step) == 2
+
+
+def test_list_inference_mesh(list_exec, tmp_path):
+    ex, batch, ds = list_exec
+    td = ds.get_testdata('synthetic', '0', 0)
+    pred, score = ex.test(td, eval_pred=False)
+    mesh, grid = pred
+    assert grid.shape == (16, 16, 16)
+    ex.save(td, pred, str(tmp_path / 'shape'))
+    assert os.path.exists(tmp_path / 'shape_pred.obj')
+
+
+def test_checkpoint_roundtrip(list_exec, tmp_path):
+    ex, batch, _ = list_exec
+    path = str(tmp_path / 'ck.ckpt')
+    checkpoints.save_checkpoint(4, ex.state, 1.25, path)
+    # perturb, then restore
+    old_params = jax.tree.map(np.asarray, ex.state.params)
+    state2 = ex.state.replace(
+        params=jax.tree.map(lambda x: x + 1.0, ex.state.params))
+    epoch, restored, bestloss = checkpoints.load_checkpoint(path, state2)
+    assert epoch == 5 and bestloss == 1.25
+    restored_params = jax.tree.map(np.asarray, restored.params)
+    jax.tree.map(np.testing.assert_array_equal, old_params, restored_params)
+
+
+def test_submodule_checkpoint(list_exec, tmp_path):
+    """best_IME/best_PD split + partial restore (warm-start path)."""
+    ex, batch, _ = list_exec
+    p_ime = str(tmp_path / 'best_IME_test.ckpt')
+    checkpoints.save_submodule(3, ex.state, 'im_encoder', p_ime)
+    # zero out both encoders, restore into each
+    zeroed = ex.state.replace(params=jax.tree.map(jnp.zeros_like,
+                                                  ex.state.params))
+    st = checkpoints.load_submodule(p_ime, zeroed, 'im_encoder')
+    st = checkpoints.load_submodule(p_ime, st, 'im_encoder2')
+    orig = jax.tree.map(np.asarray, ex.state.params['im_encoder'])
+    jax.tree.map(np.testing.assert_array_equal, orig,
+                 jax.tree.map(np.asarray, st.params['im_encoder']))
+    jax.tree.map(np.testing.assert_array_equal, orig,
+                 jax.tree.map(np.asarray, st.params['im_encoder2']))
+    # untouched submodule stays zero
+    assert float(jax.tree.reduce(
+        lambda a, b: a + float(np.abs(b).sum()),
+        st.params['sdf_decoder'], 0.0)) == 0.0

@@ -129,6 +129,10 @@ def _build_parser() -> ArgumentParser:
     parser.add_argument('--dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
                         help='Compute dtype for the model forward pass.')
+    parser.add_argument('--fast_grid', type=int, default=1,
+                        help='Use the dense-grid gather-free SDF decode path '
+                             'at inference (1) or the reference-style chunked '
+                             'gather loop (0).')
     parser.add_argument('--use_pallas', type=int, default=1,
                         help='Use Pallas TPU kernels for the SDF decode path '
                              'when running on TPU (1) or the XLA fallback (0).')

@@ -237,13 +237,28 @@ class LISTExecutor(BaseExecutor):
         return self._grid_chunks
 
     def predict_grid(self, rgb_image: np.ndarray,
-                     trans_mat: Optional[np.ndarray] = None) -> np.ndarray:
-        """Dense (vox_res^3) SDF field for one image; features computed once,
-        query chunks streamed through the jitted decoder."""
+                     trans_mat: Optional[np.ndarray] = None,
+                     fast: Optional[bool] = None) -> np.ndarray:
+        """Dense (vox_res^3) SDF field for one image.
+
+        fast path (default): gather-free dense-grid decode
+        (ops.dense_grid.dense_grid_sdf) — regular-grid trilinear sampling
+        restructured into static-index axis resampling + one MXU matmul.
+        fallback: the reference-style chunked decode with the query axis
+        sharded across the mesh."""
         img = jnp.asarray(rgb_image)
         enc = self._encode(self.state, img,
                            None if trans_mat is None
                            else jnp.asarray(trans_mat))
+        if fast is None:
+            fast = bool(getattr(self.config, 'fast_grid', 1)) \
+                and img.shape[0] == 1
+        if fast:
+            from list_tpu.ops.dense_grid import dense_grid_sdf
+            grid = dense_grid_sdf(self.state.params['sdf_decoder'],
+                                  enc['vox_feat'], enc['feat_l2'],
+                                  enc['trans_mat'], self.vox_res)
+            return np.asarray(grid, np.float32) / self.sdf_scale
         qsh = query_sharding(self.mesh)
         vals = []
         for chunk in self._get_grid_chunks():

@@ -1,0 +1,64 @@
+"""Parity of the dense-grid gather-free decode vs the general gather path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from list_tpu.models import LIST
+from list_tpu.ops import create_grid_points_from_bounds
+from list_tpu.ops.dense_grid import dense_grid_sdf, vox_w1_permutation
+
+
+def test_vox_w1_permutation_roundtrip():
+    channels = (1, 2, 3)
+    perm = vox_w1_permutation(channels)
+    assert sorted(perm.tolist()) == list(range(sum(channels) * 7))
+    # scale 0, disp 3, chan 0 -> torch row (0)*7+3
+    assert perm[3] == 3
+    # scale 1 (offset 1), disp 0, chan 1 -> row (1+1)*7+0 = 14
+    assert perm[7 + 1] == 14
+
+
+@pytest.fixture(scope='module')
+def tiny_setup():
+    R = 16
+    model = LIST(vox_res=R, point_feat=(128, 8, 8, 3), point_degree=(2, 2, 4),
+                 im_enc_layers=(1, 1, 1, 1, 2, 4, 4, 4), h_dim=8, support=2)
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3),
+                      jnp.float32)
+    q0 = jnp.zeros((1, 8, 3))
+    vars_ = model.init(jax.random.PRNGKey(1), img, q0)
+    enc = model.apply(vars_, img, method=model.encode)
+    return model, vars_, enc, R
+
+
+def test_dense_matches_general_fp32(tiny_setup):
+    model, vars_, enc, R = tiny_setup
+    grid_pts = create_grid_points_from_bounds(-0.5, 0.5, R).astype(np.float32)
+    q = jnp.asarray(grid_pts[None])
+    sdf_general = model.apply(vars_, q, enc, method=model.decode_sdf)
+    sdf_general = np.asarray(sdf_general).reshape(R, R, R)
+
+    sdf_dense = dense_grid_sdf(vars_['params']['sdf_decoder'],
+                               enc['vox_feat'], enc['feat_l2'],
+                               enc['trans_mat'], R, slab=4,
+                               compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(sdf_dense), sdf_general,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_dense_bf16_close(tiny_setup):
+    model, vars_, enc, R = tiny_setup
+    grid_pts = create_grid_points_from_bounds(-0.5, 0.5, R).astype(np.float32)
+    q = jnp.asarray(grid_pts[None])
+    sdf_general = np.asarray(
+        model.apply(vars_, q, enc, method=model.decode_sdf)).reshape(R, R, R)
+    sdf_dense = np.asarray(dense_grid_sdf(
+        vars_['params']['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
+        enc['trans_mat'], R, slab=8, compute_dtype=jnp.bfloat16))
+    # bf16 feature path: expect agreement to ~1e-2 absolute
+    assert np.abs(sdf_dense - sdf_general).max() < 5e-2
+    # sign agreement (what matters for the extracted surface)
+    agree = (np.sign(sdf_dense) == np.sign(sdf_general)).mean()
+    assert agree > 0.99

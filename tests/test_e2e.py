@@ -16,7 +16,7 @@ from list_tpu.config import default_config
 from list_tpu.data import generate_synthetic_shapenet
 from list_tpu.train import checkpoints
 from list_tpu.train.trainer import train
-from list_tpu.infer.pipeline import test_all
+from list_tpu.infer.pipeline import test_all as run_test_all
 
 
 @pytest.fixture(scope='module')
@@ -42,7 +42,8 @@ def _cfg(root, data_root, **kw):
         test_every_epoch=100,  # skip in-training eval for speed
         point_feat=[128, 8, 8, 3], point_degree=[2, 2, 4],
         im_enc_layers=[1, 1, 1, 1, 2, 4, 4, 4], sdf_scale=10.0,
-        test_pointnum=1024, lr=1e-3, num_workers=2, chunk_l=2)
+        test_pointnum=1024, lr=1e-3, num_workers=2, chunk_l=2,
+        test_cam_id=0)  # synthetic tree has views 00/01 only
     base.update(kw)
     return default_config(**base)
 
@@ -103,7 +104,7 @@ def test_stage2_inference_pipeline(env):
                dataset='datasets.Datasets.IM2SDF', eval_pred=True,
                test_checkpoint='best_model_train.ckpt',
                sample_distribution=[0.45, 0.44, 0.1])
-    csv_path = test_all(cfg)
+    csv_path = run_test_all(cfg)
     assert csv_path is not None and os.path.exists(csv_path)
     with open(csv_path) as f:
         content = f.read()

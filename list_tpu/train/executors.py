@@ -37,6 +37,25 @@ def _to_float_dict(d: Dict[str, jnp.ndarray]) -> Dict[str, float]:
     return {k: float(v) for k, v in d.items()}
 
 
+def _maybe_checkify(config, step_fn):
+    """jit the train step; with --checkify, wrap it in float (NaN/inf/div)
+    guards that raise on the host (SURVEY.md §5 race/sanitizer equivalent —
+    the reference's commented-out torch.autograd.set_detect_anomaly)."""
+    if getattr(config, 'checkify', False):
+        from jax.experimental import checkify as chk
+
+        checked = chk.checkify(step_fn, errors=chk.float_checks)
+        jitted = jax.jit(checked)
+
+        def run(state, batch):
+            err, out = jitted(state, batch)
+            err.throw()
+            return out
+
+        return run
+    return jax.jit(step_fn, donate_argnums=0)
+
+
 def total_loss(loss_dict: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """Sum of all entries whose key does not contain 'ignore'
     (reference: train.py:73-75)."""
@@ -92,7 +111,7 @@ class CoarseNetExecutor(BaseExecutor):
         super().__init__(config, model, **kw)
         self.coarse_points = config.coarse_point_density
         self.eval_fn = eval_pointcloud
-        self._train_step = jax.jit(self._train_step_fn, donate_argnums=0)
+        self._train_step = _maybe_checkify(config, self._train_step_fn)
         self._predict = jax.jit(self._predict_fn)
 
     def _init_variables(self, batch):
@@ -166,7 +185,7 @@ class LISTExecutor(BaseExecutor):
         self.vox_res = config.vox_res
         self.eval_fn = eval_mesh
         self._grid_chunks = None
-        self._train_step = jax.jit(self._train_step_fn, donate_argnums=0)
+        self._train_step = _maybe_checkify(config, self._train_step_fn)
         self._encode = jax.jit(self._encode_fn)
         self._decode = jax.jit(self._decode_fn)
 

@@ -176,6 +176,10 @@ def train(config) -> None:
     writer = SummaryWriter(os.path.join(config.results_dir, 'summary'))
     writer.add_text('opt', str(config), 0)
 
+    if getattr(config, 'profile_dir', ''):
+        import jax
+        jax.profiler.start_trace(config.profile_dir)
+
     while epoch < config.epochs:
         if not config.skip_train:
             loss = train_one_epoch(epoch, executor, train_iter, config,
@@ -223,4 +227,7 @@ def train(config) -> None:
             print_log(config.log, logline)
 
         epoch += 1
+        if getattr(config, 'profile_dir', '') and epoch == 1:
+            import jax
+            jax.profiler.stop_trace()  # trace covers the first epoch
     writer.close()

@@ -1,0 +1,110 @@
+"""ResEncoder parity vs a torch.nn.functional reimplementation of the
+reference encoder (torchvision resnet18 with stride-1 conv1,
+network/modules.py:1027-1074), using a synthetic state_dict.
+
+This validates both the flax ResNet architecture and the weight-port layout
+conversions end to end.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from list_tpu.models import ResEncoder
+from list_tpu.utils.torch_port import resencoder_from_torch
+
+
+def _rand_sd(rng):
+    """Synthetic torchvision-resnet18 state_dict (correct shapes)."""
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[name + '.weight'] = rng.randn(o, i, k, k).astype(np.float32) * 0.05
+
+    def bn(name, c):
+        sd[name + '.weight'] = rng.rand(c).astype(np.float32) + 0.5
+        sd[name + '.bias'] = rng.randn(c).astype(np.float32) * 0.1
+        sd[name + '.running_mean'] = rng.randn(c).astype(np.float32) * 0.1
+        sd[name + '.running_var'] = rng.rand(c).astype(np.float32) + 0.5
+
+    conv('conv1', 64, 3, 7)
+    bn('bn1', 64)
+    specs = [(1, 64, 64), (2, 128, 64), (3, 256, 128), (4, 512, 256)]
+    for li, c, c_in in specs:
+        for bi in range(2):
+            ci = c_in if bi == 0 else c
+            conv(f'layer{li}.{bi}.conv1', c, ci, 3)
+            conv(f'layer{li}.{bi}.conv2', c, c, 3)
+            bn(f'layer{li}.{bi}.bn1', c)
+            bn(f'layer{li}.{bi}.bn2', c)
+            if bi == 0 and li > 1:
+                conv(f'layer{li}.{bi}.downsample.0', c, ci, 1)
+                bn(f'layer{li}.{bi}.downsample.1', c)
+    sd['fc.weight'] = rng.randn(1000, 512).astype(np.float32) * 0.02
+    sd['fc.bias'] = rng.randn(1000).astype(np.float32) * 0.1
+    return sd
+
+
+def _torch_forward(sd, x):
+    """Reference encoder forward in torch.nn.functional (eval mode)."""
+    t = lambda k: torch.tensor(sd[k])
+
+    def bn(name, h):
+        return F.batch_norm(h, t(name + '.running_mean'),
+                            t(name + '.running_var'), t(name + '.weight'),
+                            t(name + '.bias'), False, 0.1, 1e-5)
+
+    h = F.conv2d(x, t('conv1.weight'), stride=1, padding=3)
+    feat0 = F.relu(bn('bn1', h))
+    h = F.max_pool2d(feat0, 3, 2, 1)
+    feats = [feat0]
+    for li in (1, 2, 3, 4):
+        for bi in range(2):
+            p = f'layer{li}.{bi}'
+            stride = 2 if (bi == 0 and li > 1) else 1
+            identity = h
+            o = F.conv2d(h, t(p + '.conv1.weight'), stride=stride, padding=1)
+            o = F.relu(bn(p + '.bn1', o))
+            o = F.conv2d(o, t(p + '.conv2.weight'), padding=1)
+            o = bn(p + '.bn2', o)
+            if p + '.downsample.0.weight' in sd:
+                identity = F.conv2d(h, t(p + '.downsample.0.weight'),
+                                    stride=stride)
+                identity = bn(p + '.downsample.1', identity)
+            h = F.relu(o + identity)
+        feats.append(h)
+    v = F.adaptive_avg_pool2d(h, 1).flatten(1)
+    v = F.linear(v, t('fc.weight'), t('fc.bias'))
+    return v, feats
+
+
+def test_resencoder_matches_torch(rng):
+    sd = _rand_sd(rng)
+    x = rng.rand(1, 3, 64, 64).astype(np.float32)
+
+    with torch.no_grad():
+        v_ref, feats_ref = _torch_forward(sd, torch.tensor(x))
+
+    m = ResEncoder()
+    x_jax = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    vars_ = m.init(jax.random.PRNGKey(0), x_jax)
+    params, stats = resencoder_from_torch(sd, dict(vars_['params']),
+                                          dict(vars_['batch_stats']),
+                                          port_conv1=True)
+    v, feats = m.apply({'params': params, 'batch_stats': stats}, x_jax)
+
+    # pyramid parity (feat0..feat4); fc1 head is random so compare pre-fc1
+    for i, (ours, ref) in enumerate(zip(feats, feats_ref)):
+        ref_np = ref.permute(0, 2, 3, 1).numpy()
+        # unnormalized synthetic weights blow activations up to ~700 at
+        # level 4; use rtol for the deep levels
+        np.testing.assert_allclose(np.asarray(ours), ref_np, atol=2e-3,
+                                   rtol=3e-4, err_msg=f'pyramid level {i}')
+    # fc (512 -> 1000) parity via re-applying fc1's input: compare through
+    # the ported fc by recomputing v_ref -> our fc1 on both
+    fc1_k = np.asarray(vars_['params']['fc1']['kernel'])
+    fc1_b = np.asarray(vars_['params']['fc1']['bias'])
+    expected = v_ref.numpy() @ fc1_k + fc1_b
+    np.testing.assert_allclose(np.asarray(v), expected, atol=2e-2)

@@ -4,21 +4,24 @@ The reference evaluates the dense vox_res^3 inference grid through the same
 gather-based decoder used for arbitrary training queries (executors.py:
 215-224).  On TPU the random-access trilinear gather is HBM-latency-bound:
 ~20.7k gathered floats per query (6 scales x 7 displacements x 8 corners x
-C channels) = ~165 GB of scattered reads per 128^3 grid.
+C channels) = ~165 GB of scattered reads per 128^3 grid; measured 13.8 s
+per mesh on v5e (152k queries/s).
 
 But the inference queries are NOT arbitrary: they are the regular grid
-linspace(bb_min, bb_max, R) in 'ij' order.  For a regular query grid,
-trilinear sampling of each feature volume factorizes per axis with STATIC
-indices and weights:
+linspace(bb_min, bb_max, R) in 'ij' order.  This module exploits that:
 
-  out[i, j, k] = (Rx ⊗ Ry ⊗ Rz)(F)[i, j, k],
-  position along an axis: a(i) = i*(R_s-1)/(R-1) + shift_d,
+1. **Gather-free voxel features.** For a regular query grid, trilinear
+   sampling of each feature volume factorizes per axis with STATIC indices
+   and weights: position along an axis is a(i) = i*(R_s-1)/(R-1) + shift_d,
+   where shift_d = +-0.0722*(R_s-1)/2 for the displaced taps.  Each axis
+   pass is two static `take`s + a lerp (contiguous traffic).  Per scale the
+   7 displacement taps are stacked channel-wise, so the 3610-d first decoder
+   layer becomes 6 MXU matmuls (K = 7*C_s) accumulated per slab.
 
-where shift_d = +-0.0722*(R_s-1)/2 for the displaced taps.  Each axis pass
-is two static `take`s + a lerp (sequential memory traffic), and the 3610-d
-first decoder layer becomes a single MXU matmul per slab.  This removes ALL
-random gathers from the voxel path; only the (image-plane) perceptual
-sampling keeps a gather, which is row-contiguous and bandwidth-friendly.
+2. **Project-then-sample perceptual features.**  Bilinear sampling is
+   linear, so sample(pmaps) @ W1_percep == sample(pmaps @ W1_percep).
+   Projecting the 137x137x1024 pyramid through the first-layer weights
+   ONCE (19.7 GFLOP) halves the per-query gather traffic to 512 channels.
 
 Numerical parity with the general path (ops.sampling.grid_sample_3d border/
 align_corners semantics, including edge clamping) is enforced by
@@ -78,11 +81,19 @@ def vox_w1_permutation(channels: Sequence[int]) -> np.ndarray:
     return np.asarray(perm, np.int64)
 
 
+def _scale_w1_rows(channels: Sequence[int], scale_idx: int) -> np.ndarray:
+    """fc_0 kernel rows for one scale in our (disp, channel) stack order."""
+    offset = sum(channels[:scale_idx])
+    c = channels[scale_idx]
+    return np.asarray([(offset + ch) * 7 + d
+                       for d in range(7) for ch in range(c)], np.int64)
+
+
 @functools.partial(jax.jit, static_argnames=('vox_res', 'slab', 'delta',
                                              'compute_dtype'))
 def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    feat_l2: List[jnp.ndarray], trans_mat: jnp.ndarray,
-                   vox_res: int, slab: int = 8, delta: float = 0.0722,
+                   vox_res: int, slab: int = 32, delta: float = 0.0722,
                    compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Dense (vox_res^3) SDF evaluation for batch size 1.
 
@@ -93,68 +104,57 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     (caller divides by sdf_scale).
     """
     R = vox_res
-
     channels = tuple(int(f.shape[-1]) for f in vox_feats)
     w1 = decoder_params['fc_0']['kernel']  # (3610, 512)
     b1 = decoder_params['fc_0']['bias']
     n_vox_rows = sum(channels) * 7
-    perm = vox_w1_permutation(channels)
-    w1_vox = jnp.take(w1[:n_vox_rows], jnp.asarray(perm), axis=0)
-    w1_percep = w1[n_vox_rows:n_vox_rows + feat_l2_channels(feat_l2)]
-    w1_xyz = w1[n_vox_rows + feat_l2_channels(feat_l2):]
+    n_percep = feat_l2_channels(feat_l2)
+    w1_scale = [jnp.take(w1[:n_vox_rows],
+                         jnp.asarray(_scale_w1_rows(channels, s)),
+                         axis=0).astype(compute_dtype)
+                for s in range(len(channels))]
+    w1_percep = w1[n_vox_rows:n_vox_rows + n_percep]
+    w1_xyz = w1[n_vox_rows + n_percep:]
 
-    # ---- perceptual maps: resize once to 137^2, concat channels ----------
+    # ---- perceptual maps: resize once, project through fc_0 rows ---------
     ms = 137
     pmaps = jnp.concatenate(
         [resize_bilinear_align_corners(f, ms, ms) for f in feat_l2],
         axis=-1)  # (1, 137, 137, 1024)
+    # sample(pmaps) @ W == sample(pmaps @ W): project first (linear ops).
+    pm512 = jnp.einsum('bhwc,co->bhwo', pmaps.astype(compute_dtype),
+                       w1_percep.astype(compute_dtype),
+                       preferred_element_type=jnp.float32)
+    pm512 = pm512.astype(compute_dtype)
 
     # ---- per-scale (y, z)-resampled variants -----------------------------
-    # variants: (y_shift, z_shift) in {(0,0), (+,0), (-,0), (0,+), (0,-)}
-    # normalized shift delta maps to delta*(R_s-1)/2 input voxels.
-    shifts = (0.0, delta, -delta)
-
     def norm_shift(s, r_in):
         return s * (r_in - 1) / 2.0
 
-    # The query remap q = (2z, 2y, 2x) means grid axis order for sampling is
-    # (x_world -> volume axis 0, y_world -> axis 1, z_world -> axis 2): the
-    # occupancy volume is already (x, y, z)-ordered, so output[i,j,k]
-    # resamples volume axes (0, 1, 2) directly.
+    # The query remap q = (2z, 2y, 2x) means output[i,j,k] resamples volume
+    # axes (0, 1, 2) = world (x, y, z) directly; displacement taps:
+    # d0 center, d1/d2 volume z axis -+, d3/d4 y axis, d5/d6 x axis.
     yz_variants = []  # per scale: dict[(sy, sz)] -> (R_s, R, R, C)
     for f in vox_feats:
-        f = f[0].astype(compute_dtype)  # (R_s, R_s, R_s, C)
+        f = f[0].astype(compute_dtype)
         r_in = f.shape[0]
         z0 = resample_axis(f, 2, R, 0.0)
-        y_of = {}
-        d = {}
-        d[(0, 0)] = resample_axis(z0, 1, R, 0.0)
-        d[(1, 0)] = resample_axis(z0, 1, R, norm_shift(delta, r_in))
-        d[(-1, 0)] = resample_axis(z0, 1, R, norm_shift(-delta, r_in))
         zp = resample_axis(f, 2, R, norm_shift(delta, r_in))
         zm = resample_axis(f, 2, R, norm_shift(-delta, r_in))
-        d[(0, 1)] = resample_axis(zp, 1, R, 0.0)
-        d[(0, -1)] = resample_axis(zm, 1, R, 0.0)
+        d = {
+            (0, 0): resample_axis(z0, 1, R, 0.0),
+            (1, 0): resample_axis(z0, 1, R, norm_shift(delta, r_in)),
+            (-1, 0): resample_axis(z0, 1, R, norm_shift(-delta, r_in)),
+            (0, 1): resample_axis(zp, 1, R, 0.0),
+            (0, -1): resample_axis(zm, 1, R, 0.0),
+        }
         yz_variants.append(d)
 
-    # displacement taps in the reference order (make_displacements):
-    # center, x-, x+, y-, y+, z-, z+ where displacement axis refers to the
-    # *sampling coordinate* axes (qx=world z -> volume axis 2, qy=world y ->
-    # axis 1, qz=world x -> axis 0).
-    # d index -> (x_axis_shift_sign, variant_key)
-    taps = [
-        (0, (0, 0)),    # center
-        (0, (0, -1)),   # qx - delta: volume z axis shift -
-        (0, (0, 1)),    # qx + delta
-        (0, (-1, 0)),   # qy - delta: y axis
-        (0, (1, 0)),    # qy + delta
-        (-1, (0, 0)),   # qz - delta: x axis (handled in the slab resample)
-        (1, (0, 0)),    # qz + delta
-    ]
+    # taps in displacement order d=0..6: (x_shift_sign, yz_variant_key)
+    taps = [(0, (0, 0)), (0, (0, -1)), (0, (0, 1)), (0, (-1, 0)),
+            (0, (1, 0)), (-1, (0, 0)), (1, (0, 0))]
 
-    # world grid coordinates (for percep + xyz rows)
     xs = np.linspace(-0.5, 0.5, R).astype(np.float32)
-
     w2 = decoder_params['fc_1']['kernel']
     b2 = decoder_params['fc_1']['bias']
     w3 = decoder_params['fc_2']['kernel']
@@ -166,28 +166,29 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     for x0 in range(0, R, slab):
         S = min(slab, R - x0)
         n = S * R * R
-        # ---- voxel features for this slab, concat (scale, disp, chan) ----
-        parts = []
+        fc0 = None
+        # ---- voxel features: per scale, 7 taps stacked channel-wise ------
         for si, f in enumerate(vox_feats):
             r_in = f.shape[1]
+            tap_parts = []
             for (x_sign, key) in taps:
-                yz = yz_variants[si][key]  # (r_in, R, R, C)
-                shift = norm_shift(delta * x_sign, r_in)
-                i0, i1, w = _axis_plan(R, r_in, shift)
-                i0s, i1s = i0[x0:x0 + S], i1[x0:x0 + S]
+                yz = yz_variants[si][key]
+                i0, i1, w = _axis_plan(R, r_in, norm_shift(delta * x_sign,
+                                                           r_in))
                 ws = jnp.asarray(w[x0:x0 + S],
                                  compute_dtype).reshape(S, 1, 1, 1)
-                v = (jnp.take(yz, jnp.asarray(i0s), axis=0) * (1 - ws)
-                     + jnp.take(yz, jnp.asarray(i1s), axis=0) * ws)
-                parts.append(v.reshape(n, -1))
-        vox_cat = jnp.concatenate(parts, axis=-1)  # (n, 2583)
-        fc0 = jnp.dot(vox_cat, w1_vox.astype(compute_dtype),
-                      preferred_element_type=jnp.float32)
+                v = (jnp.take(yz, jnp.asarray(i0[x0:x0 + S]), axis=0)
+                     * (1 - ws)
+                     + jnp.take(yz, jnp.asarray(i1[x0:x0 + S]), axis=0) * ws)
+                tap_parts.append(v.reshape(n, -1))
+            stack = jnp.concatenate(tap_parts, axis=-1)  # (n, 7*C_s)
+            part = jnp.dot(stack, w1_scale[si],
+                           preferred_element_type=jnp.float32)
+            fc0 = part if fc0 is None else fc0 + part
 
-        # ---- perceptual part --------------------------------------------
+        # ---- perceptual part (pre-projected 512-ch maps) -----------------
         gx, gy, gz = np.meshgrid(xs[x0:x0 + S], xs, xs, indexing='ij')
-        world = jnp.asarray(
-            np.stack([gx, gy, gz], -1).reshape(1, n, 3))
+        world = jnp.asarray(np.stack([gx, gy, gz], -1).reshape(1, n, 3))
         q = world[..., ::-1] * 2.0  # (2z, 2y, 2x)
         homo = jnp.concatenate([q, jnp.ones((1, n, 1), q.dtype)], -1)
         pc_xyz = jnp.einsum('bnk,bkj->bnj', homo, trans_mat)
@@ -196,10 +197,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         half = (ms - 1) / 2.0
         grid2d = (pc_xy - half) / half
         # keep sampling positions in f32 (bf16 loses sub-pixel precision)
-        percep = grid_sample_2d(pmaps.astype(compute_dtype), grid2d)[0]
-        fc0 = fc0 + jnp.dot(percep.astype(compute_dtype),
-                            w1_percep.astype(compute_dtype),
-                            preferred_element_type=jnp.float32)
+        fc0 = fc0 + grid_sample_2d(pm512, grid2d)[0].astype(jnp.float32)
         fc0 = fc0 + q[0].astype(jnp.float32) @ w1_xyz + b1
 
         # ---- MLP tail ----------------------------------------------------

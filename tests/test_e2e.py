@@ -62,31 +62,16 @@ def test_stage1_coarsenet_training(env):
 def test_stage2_warmstart_list_training(env):
     root, data_root = env
     # split submodule checkpoints out of the stage-1 best model
+    # (the reference's manual recipe, models.py:115-127)
     cfg1 = _cfg(root, data_root, exp_name='coarse_prediciton',
                 model='network.models.CoarseNet',
                 dataset='datasets.Datasets.IM2PointFarthest')
-    from list_tpu.train.trainer import build_executor, build_model
-    from list_tpu.data import IM2PointFarthest, collate
-    model1 = build_model(cfg1)
-    ex1 = build_executor(cfg1, model1)
-    ds = IM2PointFarthest(cfg1, 'train')
-    batch = collate([ds[0], ds[1]])
-    ex1.init_state(batch)
-    _, ex1.state, _ = checkpoints.load_checkpoint(
+    from list_tpu.train.split_coarse import split_coarse_checkpoint
+    split_coarse_checkpoint(
         os.path.join(cfg1.checkpoint_dir, 'best_model_train.ckpt'),
-        ex1.state)
-    # CoarseNet names its encoder 'image_encoder'; LIST expects
-    # im_encoder/point_decoder submodule checkpoints (README.md:88-100)
-    checkpoints.save_submodule(
-        0, ex1.state.replace(params={
-            'im_encoder': ex1.state.params['image_encoder']},
-            batch_stats={
-                'im_encoder': ex1.state.batch_stats['image_encoder']}),
-        'im_encoder',
-        os.path.join(cfg1.checkpoint_dir, 'best_IME_test.ckpt'))
-    checkpoints.save_submodule(
-        0, ex1.state, 'point_decoder',
-        os.path.join(cfg1.checkpoint_dir, 'best_PD_test.ckpt'))
+        cfg1.checkpoint_dir)
+    assert os.path.exists(os.path.join(cfg1.checkpoint_dir,
+                                       'best_IME_test.ckpt'))
 
     cfg2 = _cfg(root, data_root, exp_name='list_stage2',
                 model='network.models.LIST',

@@ -10,15 +10,16 @@ Fuses, for every query tile of the dense inference grid:
   4. the ReLU MLP tail 512 -> 256 -> 256 -> 1,
 writing only the final (R^3,) SDF to HBM.
 
-Design notes:
-- grid = (R/X, R^2/T) tiles; X=8 output x-rows, T yz-positions.
-- For each (scale, tap) the needed input x-rows form a short contiguous
-  range (length L_s <= 9, static); all 42 DMAs are started up front into
-  dedicated VMEM scratch (~2.4 MB total) and waited on just before use, so
-  DMA latency overlaps compute.
-- The x-lerp is expressed as a tiny banded matrix M (X, L_s) built from
-  iota comparisons, so the resample + tap matmul are two MXU ops:
-  (M @ in).reshape(X*T, C) @ W_tap.
+Layout notes (Mosaic constraints drove these choices):
+- Everything inside the kernel is **feature-major**: variant volumes are
+  stored (r_in, C, R^2) so the DMA's last-dim slice is the 128-aligned
+  query-tile axis (slicing a C<128 channel axis violates lane tiling);
+  weights are pre-transposed on the host so every contraction is a plain
+  ``jnp.dot`` producing (features, T) tiles.
+- The x-lerp uses dynamic single-row slices of the VMEM tap buffer (no
+  reshapes: Mosaic rejects lane-crossing shape casts).
+- All tap DMAs for a grid step start up front (dedicated scratch buffers +
+  semaphores), so DMA latency overlaps the matmul accumulation.
 - Weights stay VMEM-resident across grid steps (constant index maps).
 
 Parity vs ops.dense_grid.dense_grid_sdf (same math, same tap order) is
@@ -36,38 +37,38 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from list_tpu.ops.dense_grid import (_axis_plan, _scale_w1_rows,
-                                     feat_l2_channels, resample_axis)
+from list_tpu.ops.dense_grid import (_scale_w1_rows, feat_l2_channels,
+                                     resample_axis)
 from list_tpu.ops.sampling import grid_sample_2d, resize_bilinear_align_corners
 
 X_TILE = 8
+VARIANT_ORDER = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
 
 
 def _tap_specs(r_ins: Sequence[int], R: int, delta: float):
-    """Static per-(scale, tap) spec: (scale_idx, variant_key, x_shift,
-    L rows needed per X_TILE output rows)."""
+    """Static per-(scale, tap) spec: (scale_idx, variant_index, x_shift,
+    L rows needed per X_TILE output rows, ratio)."""
     taps = [(0, (0, 0)), (0, (0, -1)), (0, (0, 1)), (0, (-1, 0)),
             (0, (1, 0)), (-1, (0, 0)), (1, (0, 0))]
     specs = []
     for si, r_in in enumerate(r_ins):
         ratio = (r_in - 1) / (R - 1)
-        L = int(np.ceil((X_TILE - 1) * ratio)) + 2
-        L = min(L, r_in)
+        L = min(int(np.ceil((X_TILE - 1) * ratio)) + 2, r_in)
         for x_sign, key in taps:
             shift = delta * x_sign * (r_in - 1) / 2.0
-            specs.append((si, key, shift, L, ratio))
+            specs.append((si, VARIANT_ORDER.index(key), shift, L, ratio))
     return specs
 
 
 def _make_kernel(r_ins, channels, R, T, delta, n_scales):
     specs = _tap_specs(r_ins, R, delta)
-
-    n_taps = 7 * n_scales
+    n_taps = len(specs)
 
     def kernel(*refs):
-        # ref order: 5*n_scales variant volumes [scale][variant], base,
-        # n_scales scale weights, w2, b2, w3, b3, w4, b4, out, then scratch:
-        # n_taps tap buffers + dma sems.
+        # ref order: 5*n_scales variant volumes (r_in, C, R^2) in ANY/HBM,
+        # base (1, R, d1, R^2) blocked, n_scales tap-weight stacks
+        # (7, d1, C), w2T, b2, w3T, b3, w4T, b4, out, then scratch: n_taps
+        # tap buffers (L, C, T), dma sems, fc0 (X, d1, T) f32.
         n_vol = 5 * n_scales
         vols = refs[:n_vol]
         base_ref = refs[n_vol]
@@ -77,77 +78,65 @@ def _make_kernel(r_ins, channels, R, T, delta, n_scales):
         out_ref = refs[n_vol + 7 + n_scales]
         scratch = refs[n_vol + 8 + n_scales:n_vol + 8 + n_scales + n_taps]
         sems = refs[n_vol + 8 + n_scales + n_taps]
+        fc0_scr = refs[n_vol + 9 + n_scales + n_taps]
 
         xi = pl.program_id(0)
         yj = pl.program_id(1)
         x0 = xi * X_TILE
         yz0 = yj * T
 
-        variant_order = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
-
         # ---- start all tap DMAs up front --------------------------------
         starts = []
-        for t, (si, key, shift, L, ratio) in enumerate(specs):
+        for t, (si, vi, shift, L, ratio) in enumerate(specs):
             r_in = r_ins[si]
-            vol = vols[si * 5 + variant_order.index(key)]
-            # first needed row: floor(clip(a(x0)+shift)) (monotonic in x)
-            a0 = x0 * ratio + shift
+            vol = vols[si * 5 + vi]
+            a0 = x0.astype(jnp.float32) * ratio + shift
             a0 = jnp.clip(a0, 0.0, float(r_in - 1))
             start = jnp.floor(a0).astype(jnp.int32)
-            start = jnp.minimum(start, r_in - L)
-            start = jnp.maximum(start, 0)
+            start = jnp.clip(start, 0, r_in - L)
             starts.append(start)
-            dma = pltpu.make_async_copy(
-                vol.at[pl.ds(start, L), pl.ds(yz0, T)],
-                scratch[t], sems.at[t])
-            dma.start()
-
-        fc0 = base_ref[0].astype(jnp.float32).reshape(X_TILE * T, -1)
-
-        # ---- accumulate taps --------------------------------------------
-        for t, (si, key, shift, L, ratio) in enumerate(specs):
-            r_in = r_ins[si]
-            C = channels[si]
-            vol = vols[si * 5 + variant_order.index(key)]
             pltpu.make_async_copy(
-                vol.at[pl.ds(starts[t], L), pl.ds(yz0, T)],
+                vol.at[pl.ds(start, L), :, pl.ds(yz0, T)],
+                scratch[t], sems.at[t]).start()
+
+        fc0_scr[:] = base_ref[0].astype(jnp.float32)  # (X, d1, T)
+
+        # ---- accumulate taps (feature-major, per output x-row) -----------
+        for t, (si, vi, shift, L, ratio) in enumerate(specs):
+            r_in = r_ins[si]
+            vol = vols[si * 5 + vi]
+            pltpu.make_async_copy(
+                vol.at[pl.ds(starts[t], L), :, pl.ds(yz0, T)],
                 scratch[t], sems.at[t]).wait()
-
-            # per-row positions and weights (vector, static formula)
-            rows = (x0 + jax.lax.broadcasted_iota(jnp.int32, (X_TILE, 1), 0)
-                    ).astype(jnp.float32)
-            pos = jnp.clip(rows * ratio + shift, 0.0, float(r_in - 1))
-            i0 = jnp.floor(pos)
-            w = pos - i0
-            i1 = jnp.minimum(i0 + 1, float(r_in - 1))
-            start_f = starts[t].astype(jnp.float32)
-            l0 = i0 - start_f  # (X, 1) local row of corner 0
-            l1 = i1 - start_f
-            li = jax.lax.broadcasted_iota(jnp.int32, (X_TILE, L),
-                                          1).astype(jnp.float32)
-            m = ((li == l0) * (1.0 - w) + (li == l1) * w)
-
-            tile = scratch[t][:].reshape(L, T * C)
-            res = jnp.dot(m.astype(tile.dtype), tile,
-                          preferred_element_type=jnp.float32)
-            res = res.reshape(X_TILE * T, C)
             d = t % 7
-            wt = ws[si][pl.ds(d * C, C), :]
-            fc0 = fc0 + jnp.dot(res.astype(wt.dtype), wt,
-                                preferred_element_type=jnp.float32)
+            wt = ws[si][d]  # (d1, C)
+            for x in range(X_TILE):
+                pos = (x0 + x).astype(jnp.float32) * ratio + shift
+                pos = jnp.clip(pos, 0.0, float(r_in - 1))
+                i0 = jnp.floor(pos)
+                w = (pos - i0).astype(wt.dtype)
+                i1 = jnp.minimum(i0 + 1.0, float(r_in - 1))
+                l0 = i0.astype(jnp.int32) - starts[t]
+                l1 = i1.astype(jnp.int32) - starts[t]
+                v0 = scratch[t][pl.ds(l0, 1)][0]  # (C, T)
+                v1 = scratch[t][pl.ds(l1, 1)][0]
+                v = v0 * (1.0 - w) + v1 * w
+                part = jnp.dot(wt, v, preferred_element_type=jnp.float32)
+                fc0_scr[x] = fc0_scr[x] + part  # (d1, T)
 
-        # ---- MLP tail ----------------------------------------------------
+        # ---- MLP tail (feature-major, per x-row) -------------------------
         dt = w2_ref.dtype
-        h = jnp.maximum(fc0, 0.0).astype(dt)
-        h = jnp.maximum(
-            jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-            + b2_ref[:], 0.0).astype(dt)
-        h = jnp.maximum(
-            jnp.dot(h, w3_ref[:], preferred_element_type=jnp.float32)
-            + b3_ref[:], 0.0).astype(dt)
-        o = jnp.dot(h, w4_ref[:], preferred_element_type=jnp.float32) \
-            + b4_ref[:]
-        out_ref[0] = o.reshape(X_TILE, T)
+        for x in range(X_TILE):
+            h = jnp.maximum(fc0_scr[x], 0.0).astype(dt)
+            h = jnp.maximum(
+                jnp.dot(w2_ref[:], h, preferred_element_type=jnp.float32)
+                + b2_ref[:], 0.0).astype(dt)
+            h = jnp.maximum(
+                jnp.dot(w3_ref[:], h, preferred_element_type=jnp.float32)
+                + b3_ref[:], 0.0).astype(dt)
+            o = jnp.dot(w4_ref[:], h, preferred_element_type=jnp.float32) \
+                + b4_ref[:]  # (1, T)
+            out_ref[0, pl.ds(x, 1)] = o
 
     return kernel, specs
 
@@ -164,9 +153,9 @@ def pallas_dense_vox_decode(decoder_params: Dict,
                             interpret: bool = False) -> jnp.ndarray:
     """Run the fused kernel.
 
-    yz_variants_flat: 5*n_scales volumes (r_in, R^2, C) in variant order
-    [(0,0),(1,0),(-1,0),(0,1),(0,-1)] per scale.  base: (R, R^2, 512) f32 =
-    percep + xyz + b1 contribution.  Returns (R, R^2) f32 raw SDF.
+    yz_variants_flat: 5*n_scales volumes (r_in, C, R^2) in VARIANT_ORDER per
+    scale.  base: (R, d1, R^2) = percep + xyz + b1 contribution
+    (feature-major).  Returns (R, R^2) f32 raw SDF.
     """
     R = vox_res
     T = tile_t
@@ -176,18 +165,22 @@ def pallas_dense_vox_decode(decoder_params: Dict,
                                  n_scales)
 
     w1 = decoder_params['fc_0']['kernel']
-    n_vox_rows = sum(channels) * 7
-    w_scales = [jnp.take(w1[:n_vox_rows],
-                         jnp.asarray(_scale_w1_rows(tuple(channels), s)),
-                         axis=0).astype(compute_dtype)
-                for s in range(n_scales)]
-    w2 = decoder_params['fc_1']['kernel'].astype(compute_dtype)
-    b2 = decoder_params['fc_1']['bias'].reshape(1, -1).astype(jnp.float32)
-    w3 = decoder_params['fc_2']['kernel'].astype(compute_dtype)
-    b3 = decoder_params['fc_2']['bias'].reshape(1, -1).astype(jnp.float32)
-    w4 = decoder_params['fc_out']['kernel'].astype(compute_dtype)
-    b4 = decoder_params['fc_out']['bias'].reshape(1, -1).astype(jnp.float32)
     d1 = w1.shape[1]
+    n_vox_rows = sum(channels) * 7
+    # per-scale tap weights: rows ordered (d, c) -> (7, C, d1) -> (7, d1, C)
+    w_scales = []
+    for s, c in enumerate(channels):
+        rows = jnp.take(w1[:n_vox_rows],
+                        jnp.asarray(_scale_w1_rows(tuple(channels), s)),
+                        axis=0)  # (7*C, d1)
+        w_scales.append(jnp.transpose(rows.reshape(7, c, d1),
+                                      (0, 2, 1)).astype(compute_dtype))
+    w2t = decoder_params['fc_1']['kernel'].T.astype(compute_dtype)
+    b2 = decoder_params['fc_1']['bias'].reshape(-1, 1).astype(jnp.float32)
+    w3t = decoder_params['fc_2']['kernel'].T.astype(compute_dtype)
+    b3 = decoder_params['fc_2']['bias'].reshape(-1, 1).astype(jnp.float32)
+    w4t = decoder_params['fc_out']['kernel'].T.astype(compute_dtype)
+    b4 = decoder_params['fc_out']['bias'].reshape(-1, 1).astype(jnp.float32)
 
     grid = (R // X_TILE, (R * R) // T)
 
@@ -196,22 +189,23 @@ def pallas_dense_vox_decode(decoder_params: Dict,
     const = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     in_specs = vol_specs + [
-        pl.BlockSpec((1, X_TILE, T, d1), lambda i, j: (0, i, j, 0),
+        pl.BlockSpec((1, X_TILE, d1, T), lambda i, j: (0, i, 0, j),
                      memory_space=pltpu.VMEM),  # base
     ] + [const(w.shape) for w in w_scales] + [
-        const(w2.shape), const(b2.shape), const(w3.shape), const(b3.shape),
-        const(w4.shape), const(b4.shape),
+        const(w2t.shape), const(b2.shape), const(w3t.shape), const(b3.shape),
+        const(w4t.shape), const(b4.shape),
     ]
     out_spec = pl.BlockSpec((1, X_TILE, T), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
 
     scratch_shapes = []
-    for (si, key, shift, L, ratio) in specs:
+    for (si, vi, shift, L, ratio) in specs:
         scratch_shapes.append(
-            pltpu.VMEM((L, T, channels[si]), compute_dtype))
+            pltpu.VMEM((L, channels[si], T), compute_dtype))
     scratch_shapes.append(pltpu.SemaphoreType.DMA((len(specs),)))
+    scratch_shapes.append(pltpu.VMEM((X_TILE, d1, T), jnp.float32))
 
-    base4 = base.reshape(1, R, R * R, d1)
+    base4 = base.reshape(1, R, d1, R * R)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, R, R * R), jnp.float32),
@@ -221,7 +215,7 @@ def pallas_dense_vox_decode(decoder_params: Dict,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*[v.astype(compute_dtype) for v in yz_variants_flat], base4,
-      *w_scales, w2, b2, w3, b3, w4, b4)
+      *w_scales, w2t, b2, w3t, b3, w4t, b4)
     return out[0]
 
 
@@ -243,12 +237,13 @@ def dense_grid_sdf_pallas(decoder_params: Dict,
     channels = tuple(int(f.shape[-1]) for f in vox_feats)
     w1 = decoder_params['fc_0']['kernel']
     b1 = decoder_params['fc_0']['bias']
+    d1 = w1.shape[1]
     n_vox_rows = sum(channels) * 7
     n_percep = feat_l2_channels(feat_l2)
     w1_percep = w1[n_vox_rows:n_vox_rows + n_percep]
     w1_xyz = w1[n_vox_rows + n_percep:]
 
-    # (y, z) variants per scale, flattened to (r_in, R^2, C)
+    # (y, z) variants per scale, feature-major (r_in, C, R^2)
     def norm_shift(s, r_in):
         return s * (r_in - 1) / 2.0
 
@@ -264,9 +259,11 @@ def dense_grid_sdf_pallas(decoder_params: Dict,
                     resample_axis(z0, 1, R, norm_shift(-delta, r_in)),
                     resample_axis(zp, 1, R, 0.0),
                     resample_axis(zm, 1, R, 0.0)):
-            variants.append(var.reshape(r_in, R * R, var.shape[-1]))
+            # (r_in, R, R, C) -> (r_in, C, R^2)
+            variants.append(jnp.transpose(var, (0, 3, 1, 2)).reshape(
+                r_in, var.shape[-1], R * R))
 
-    # base = percep + xyz + b1 over the full grid
+    # base = percep + xyz + b1 over the full grid, feature-major
     ms = 137
     pmaps = jnp.concatenate(
         [resize_bilinear_align_corners(f, ms, ms) for f in feat_l2],
@@ -286,9 +283,9 @@ def dense_grid_sdf_pallas(decoder_params: Dict,
     half = (ms - 1) / 2.0
     base = grid_sample_2d(pm512, (pc_xy - half) / half)[0].astype(jnp.float32)
     base = base + q[0].astype(jnp.float32) @ w1_xyz + b1
-    # ship the base term in compute dtype: halves its HBM footprint (2.1 GB
-    # at 128^3); the kernel accumulates in f32.
-    base = base.astype(compute_dtype).reshape(R, R * R, -1)
+    # ship in compute dtype, feature-major (R, d1, R^2)
+    base = jnp.transpose(base.astype(compute_dtype).reshape(R, R * R, d1),
+                         (0, 2, 1))
 
     out = pallas_dense_vox_decode(decoder_params, variants, base, R,
                                   channels=channels, tile_t=tile_t,

@@ -37,38 +37,55 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from list_tpu.ops.dense_grid import (_scale_w1_rows, feat_l2_channels,
-                                     resample_axis)
+from list_tpu.ops.dense_grid import (_axis_plan, _scale_w1_rows,
+                                     feat_l2_channels, resample_axis)
+
+
+def _axis_plan_slab(R, r_in, shift, x0, S):
+    """Static x-resample plan restricted to output rows [x0, x0+S)."""
+    i0, i1, w = _axis_plan(R, r_in, shift)
+    return i0[x0:x0 + S], i1[x0:x0 + S], w[x0:x0 + S]
 from list_tpu.ops.sampling import grid_sample_2d, resize_bilinear_align_corners
 
-X_TILE = 8
 VARIANT_ORDER = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
+TAPS = [(0, (0, 0)), (0, (0, -1)), (0, (0, 1)), (0, (-1, 0)),
+        (0, (1, 0)), (-1, (0, 0)), (1, (0, 0))]
 
 
-def _tap_specs(r_ins: Sequence[int], R: int, delta: float):
-    """Static per-(scale, tap) spec: (scale_idx, variant_index, x_shift,
-    L rows needed per X_TILE output rows, ratio)."""
-    taps = [(0, (0, 0)), (0, (0, -1)), (0, (0, 1)), (0, (-1, 0)),
-            (0, (1, 0)), (-1, (0, 0)), (1, (0, 0))]
+X_BLOCK = 16  # output x-rows sharing one round of variant DMAs
+
+
+def _variant_specs(r_ins: Sequence[int], R: int, delta: float):
+    """Static per-(scale, variant) DMA spec.
+
+    Returns list of (scale_idx, variant_idx, min_shift, Lb, ratio): the
+    buffer row span Lb covers all X_BLOCK output rows AND, for the (0,0)
+    variant, the +-shift of the x-displaced taps.
+    """
     specs = []
     for si, r_in in enumerate(r_ins):
         ratio = (r_in - 1) / (R - 1)
-        L = min(int(np.ceil((X_TILE - 1) * ratio)) + 2, r_in)
-        for x_sign, key in taps:
-            shift = delta * x_sign * (r_in - 1) / 2.0
-            specs.append((si, VARIANT_ORDER.index(key), shift, L, ratio))
+        s = delta * (r_in - 1) / 2.0
+        for vi, key in enumerate(VARIANT_ORDER):
+            # variant (0,0) also serves the x-shifted taps
+            min_shift = -s if vi == 0 else 0.0
+            max_shift = s if vi == 0 else 0.0
+            span = (X_BLOCK - 1) * ratio + (max_shift - min_shift)
+            Lb = min(int(np.ceil(span)) + 2, r_in)
+            specs.append((si, vi, min_shift, Lb, ratio))
     return specs
 
 
 def _make_kernel(r_ins, channels, R, T, delta, n_scales):
-    specs = _tap_specs(r_ins, R, delta)
-    n_taps = len(specs)
+    vspecs = _variant_specs(r_ins, R, delta)
+    n_bufs = len(vspecs)
 
     def kernel(*refs):
-        # ref order: 5*n_scales variant volumes (r_in, C, R^2) in ANY/HBM,
-        # base (1, R, d1, R^2) blocked, n_scales tap-weight stacks
-        # (7, d1, C), w2T, b2, w3T, b3, w4T, b4, out, then scratch: n_taps
-        # tap buffers (L, C, T), dma sems, fc0 (X, d1, T) f32.
+        # ref order: 5*n_scales variant volumes (r_in, n_tiles, C, T) in
+        # ANY/HBM, base (1, R, d1, R^2-tiled) blocked (one x-row), n_scales
+        # weight stacks (d1, 7*C), w2T, b2, w3T, b3, w4T, b4, out, then
+        # scratch: n_bufs variant buffers (Lb, 1, C, T), per-scale stack
+        # buffers (7*C, T), dma sems.
         n_vol = 5 * n_scales
         vols = refs[:n_vol]
         base_ref = refs[n_vol]
@@ -76,105 +93,113 @@ def _make_kernel(r_ins, channels, R, T, delta, n_scales):
         w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, b4_ref = \
             refs[n_vol + 1 + n_scales:n_vol + 7 + n_scales]
         out_ref = refs[n_vol + 7 + n_scales]
-        scratch = refs[n_vol + 8 + n_scales:n_vol + 8 + n_scales + n_taps]
-        sems = refs[n_vol + 8 + n_scales + n_taps]
-        fc0_scr = refs[n_vol + 9 + n_scales + n_taps]
+        s0 = n_vol + 8 + n_scales
+        scratch = refs[s0:s0 + n_bufs]
+        stacks = refs[s0 + n_bufs:s0 + n_bufs + n_scales]
+        sems = refs[s0 + n_bufs + n_scales]
 
+        # 3D grid (R//X_BLOCK, R^2//T, X_BLOCK): variant DMAs are issued
+        # once per (i, j) block (at xk == 0) and reused by the X_BLOCK
+        # inner steps, amortizing DMA latency over the block's compute.
+        xk = pl.program_id(2)
         xi = pl.program_id(0)
+        x = xi * X_BLOCK + xk
         yj = pl.program_id(1)
-        x0 = xi * X_TILE
-        yz0 = yj * T
 
-        # ---- start all tap DMAs up front --------------------------------
-        starts = []
-        for t, (si, vi, shift, L, ratio) in enumerate(specs):
+        def block_start(si, vi, min_shift, Lb, ratio):
             r_in = r_ins[si]
-            vol = vols[si * 5 + vi]
-            a0 = x0.astype(jnp.float32) * ratio + shift
+            a0 = (xi * X_BLOCK).astype(jnp.float32) * ratio + min_shift
             a0 = jnp.clip(a0, 0.0, float(r_in - 1))
             start = jnp.floor(a0).astype(jnp.int32)
-            start = jnp.clip(start, 0, r_in - L)
-            starts.append(start)
-            pltpu.make_async_copy(
-                vol.at[pl.ds(start, L), :, pl.ds(yz0, T)],
-                scratch[t], sems.at[t]).start()
+            return jnp.clip(start, 0, r_in - Lb)
 
-        fc0_scr[:] = base_ref[0].astype(jnp.float32)  # (X, d1, T)
+        starts = [block_start(*spec) for spec in vspecs]
 
-        # ---- accumulate taps (feature-major, per output x-row) -----------
-        for t, (si, vi, shift, L, ratio) in enumerate(specs):
+        @pl.when(xk == 0)
+        def _():
+            for b, (si, vi, min_shift, Lb, ratio) in enumerate(vspecs):
+                vol = vols[si * 5 + vi]
+                pltpu.make_async_copy(
+                    vol.at[pl.ds(starts[b], Lb), pl.ds(yj, 1)],
+                    scratch[b], sems.at[b]).start()
+            for b in range(n_bufs):
+                (si, vi, min_shift, Lb, ratio) = vspecs[b]
+                vol = vols[si * 5 + vi]
+                pltpu.make_async_copy(
+                    vol.at[pl.ds(starts[b], Lb), pl.ds(yj, 1)],
+                    scratch[b], sems.at[b]).wait()
+
+        fc0 = base_ref[0, 0].astype(jnp.float32)  # (d1, T)
+
+        # ---- per scale: lerp the 7 taps into a (7C, T) stack, one matmul -
+        for si in range(n_scales):
+            C = channels[si]
             r_in = r_ins[si]
-            vol = vols[si * 5 + vi]
-            pltpu.make_async_copy(
-                vol.at[pl.ds(starts[t], L), :, pl.ds(yz0, T)],
-                scratch[t], sems.at[t]).wait()
-            d = t % 7
-            wt = ws[si][d]  # (d1, C)
-            for x in range(X_TILE):
-                pos = (x0 + x).astype(jnp.float32) * ratio + shift
+            ratio = (r_in - 1) / (R - 1)
+            for d, (x_sign, key) in enumerate(TAPS):
+                vi = VARIANT_ORDER.index(key)
+                b = si * 5 + vi
+                shift = delta * x_sign * (r_in - 1) / 2.0
+                pos = x.astype(jnp.float32) * ratio + shift
                 pos = jnp.clip(pos, 0.0, float(r_in - 1))
                 i0 = jnp.floor(pos)
-                w = (pos - i0).astype(wt.dtype)
+                w = pos - i0  # f32 scalar (bf16 scalar arith won't legalize)
                 i1 = jnp.minimum(i0 + 1.0, float(r_in - 1))
-                l0 = i0.astype(jnp.int32) - starts[t]
-                l1 = i1.astype(jnp.int32) - starts[t]
-                v0 = scratch[t][pl.ds(l0, 1)][0]  # (C, T)
-                v1 = scratch[t][pl.ds(l1, 1)][0]
-                v = v0 * (1.0 - w) + v1 * w
-                part = jnp.dot(wt, v, preferred_element_type=jnp.float32)
-                fc0_scr[x] = fc0_scr[x] + part  # (d1, T)
+                l0 = i0.astype(jnp.int32) - starts[b]
+                l1 = i1.astype(jnp.int32) - starts[b]
+                v0 = scratch[b][pl.ds(l0, 1)][0, 0]  # (C, T)
+                v1 = scratch[b][pl.ds(l1, 1)][0, 0]
+                v = (v0.astype(jnp.float32) * (1.0 - w)
+                     + v1.astype(jnp.float32) * w)
+                stacks[si][pl.ds(d * C, C), :] = v.astype(stacks[si].dtype)
+            fc0 = fc0 + jnp.dot(ws[si][:], stacks[si][:],
+                                preferred_element_type=jnp.float32)
 
-        # ---- MLP tail (feature-major, per x-row) -------------------------
+        # ---- MLP tail (feature-major) ------------------------------------
         dt = w2_ref.dtype
-        for x in range(X_TILE):
-            h = jnp.maximum(fc0_scr[x], 0.0).astype(dt)
-            h = jnp.maximum(
-                jnp.dot(w2_ref[:], h, preferred_element_type=jnp.float32)
-                + b2_ref[:], 0.0).astype(dt)
-            h = jnp.maximum(
-                jnp.dot(w3_ref[:], h, preferred_element_type=jnp.float32)
-                + b3_ref[:], 0.0).astype(dt)
-            o = jnp.dot(w4_ref[:], h, preferred_element_type=jnp.float32) \
-                + b4_ref[:]  # (1, T)
-            out_ref[0, pl.ds(x, 1)] = o
+        h = jnp.maximum(fc0, 0.0).astype(dt)
+        h = jnp.maximum(
+            jnp.dot(w2_ref[:], h, preferred_element_type=jnp.float32)
+            + b2_ref[:], 0.0).astype(dt)
+        h = jnp.maximum(
+            jnp.dot(w3_ref[:], h, preferred_element_type=jnp.float32)
+            + b3_ref[:], 0.0).astype(dt)
+        o = jnp.dot(w4_ref[:], h, preferred_element_type=jnp.float32) \
+            + b4_ref[:]  # (1, T)
+        out_ref[0, pl.ds(xk, 1)] = o
 
-    return kernel, specs
+    return kernel, vspecs
 
 
-@functools.partial(jax.jit, static_argnames=('vox_res', 'channels', 'tile_t',
-                                             'delta', 'compute_dtype',
-                                             'interpret'))
+@functools.partial(jax.jit, static_argnames=('vox_res', 'tile_t', 'delta',
+                                             'compute_dtype', 'interpret'))
 def pallas_dense_vox_decode(decoder_params: Dict,
                             yz_variants_flat: List[jnp.ndarray],
+                            tap_weights: List[jnp.ndarray],
                             base: jnp.ndarray, vox_res: int,
-                            channels: Sequence[int], tile_t: int = 128,
-                            delta: float = 0.0722,
+                            tile_t: int = 256, delta: float = 0.0722,
                             compute_dtype=jnp.bfloat16,
                             interpret: bool = False) -> jnp.ndarray:
     """Run the fused kernel.
 
-    yz_variants_flat: 5*n_scales volumes (r_in, C, R^2) in VARIANT_ORDER per
-    scale.  base: (R, d1, R^2) = percep + xyz + b1 contribution
-    (feature-major).  Returns (R, R^2) f32 raw SDF.
+    yz_variants_flat: 5*n_scales volumes pre-tiled (r_in, R^2//T, C, T) in
+    VARIANT_ORDER per scale (contiguous DMA tiles).  tap_weights: per scale (7, d1, C) first-layer weight stacks.
+    base: (R, d1, R^2) = percep + xyz + b1 (+ any XLA-handled scales)
+    contribution, feature-major.  Returns (R, R^2) f32 raw SDF.
     """
     R = vox_res
     T = tile_t
+    channels = tuple(int(v.shape[2]) for v in yz_variants_flat[::5])
     n_scales = len(channels)
     r_ins = tuple(int(v.shape[0]) for v in yz_variants_flat[::5])
-    kernel, specs = _make_kernel(r_ins, tuple(channels), R, T, delta,
-                                 n_scales)
+    kernel, specs = _make_kernel(r_ins, channels, R, T, delta, n_scales)
 
-    w1 = decoder_params['fc_0']['kernel']
-    d1 = w1.shape[1]
-    n_vox_rows = sum(channels) * 7
-    # per-scale tap weights: rows ordered (d, c) -> (7, C, d1) -> (7, d1, C)
-    w_scales = []
-    for s, c in enumerate(channels):
-        rows = jnp.take(w1[:n_vox_rows],
-                        jnp.asarray(_scale_w1_rows(tuple(channels), s)),
-                        axis=0)  # (7*C, d1)
-        w_scales.append(jnp.transpose(rows.reshape(7, c, d1),
-                                      (0, 2, 1)).astype(compute_dtype))
+    d1 = decoder_params['fc_0']['kernel'].shape[1]
+    # per-scale (7, d1, C) tap weights -> one (d1, 7*C) stack weight whose
+    # columns are ordered (d, c) to match the kernel's stacked tile rows.
+    w_scales = [jnp.concatenate([w[d] for d in range(7)],
+                                axis=1).astype(compute_dtype)
+                for w in tap_weights]
     w2t = decoder_params['fc_1']['kernel'].T.astype(compute_dtype)
     b2 = decoder_params['fc_1']['bias'].reshape(-1, 1).astype(jnp.float32)
     w3t = decoder_params['fc_2']['kernel'].T.astype(compute_dtype)
@@ -182,28 +207,31 @@ def pallas_dense_vox_decode(decoder_params: Dict,
     w4t = decoder_params['fc_out']['kernel'].T.astype(compute_dtype)
     b4 = decoder_params['fc_out']['bias'].reshape(-1, 1).astype(jnp.float32)
 
-    grid = (R // X_TILE, (R * R) // T)
+    assert R % X_BLOCK == 0, R
+    grid = (R // X_BLOCK, (R * R) // T, X_BLOCK)
 
     vol_specs = [pl.BlockSpec(memory_space=pl.ANY)
                  for _ in yz_variants_flat]
-    const = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
-                                       memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i, j, k: (0,) * len(shape), memory_space=pltpu.VMEM)
     in_specs = vol_specs + [
-        pl.BlockSpec((1, X_TILE, d1, T), lambda i, j: (0, i, 0, j),
+        pl.BlockSpec((1, 1, d1, T),
+                     lambda i, j, k: (0, i * X_BLOCK + k, 0, j),
                      memory_space=pltpu.VMEM),  # base
     ] + [const(w.shape) for w in w_scales] + [
         const(w2t.shape), const(b2.shape), const(w3t.shape), const(b3.shape),
         const(w4t.shape), const(b4.shape),
     ]
-    out_spec = pl.BlockSpec((1, X_TILE, T), lambda i, j: (0, i, j),
+    out_spec = pl.BlockSpec((1, X_BLOCK, T), lambda i, j, k: (0, i, j),
                             memory_space=pltpu.VMEM)
 
     scratch_shapes = []
-    for (si, vi, shift, L, ratio) in specs:
+    for (si, vi, min_shift, Lb, ratio) in specs:
         scratch_shapes.append(
-            pltpu.VMEM((L, channels[si], T), compute_dtype))
+            pltpu.VMEM((Lb, 1, channels[si], T), compute_dtype))
+    for c in channels:
+        scratch_shapes.append(pltpu.VMEM((7 * c, T), compute_dtype))
     scratch_shapes.append(pltpu.SemaphoreType.DMA((len(specs),)))
-    scratch_shapes.append(pltpu.VMEM((X_TILE, d1, T), jnp.float32))
 
     base4 = base.reshape(1, R, d1, R * R)
     out = pl.pallas_call(
@@ -225,7 +253,7 @@ def dense_grid_sdf_pallas(decoder_params: Dict,
                           trans_mat: jnp.ndarray, vox_res: int,
                           delta: float = 0.0722,
                           compute_dtype=jnp.bfloat16,
-                          tile_t: int = 128,
+                          tile_t: int = 256,
                           interpret: bool = False) -> jnp.ndarray:
     """Full dense-grid decode with the Pallas kernel for the voxel path.
 
@@ -243,27 +271,43 @@ def dense_grid_sdf_pallas(decoder_params: Dict,
     w1_percep = w1[n_vox_rows:n_vox_rows + n_percep]
     w1_xyz = w1[n_vox_rows + n_percep:]
 
-    # (y, z) variants per scale, feature-major (r_in, C, R^2)
+    # Scales whose channel count is not a multiple of the sublane tile
+    # cannot be DMA-sliced by the kernel; their (cheap) contribution is
+    # folded into the XLA-computed base term instead.  For the shipped
+    # config only the 1-channel sigmoid-occupancy scale takes this path.
+    sublane = 16 if compute_dtype == jnp.bfloat16 else 8
+    kernel_scales = [s for s, c in enumerate(channels) if c % sublane == 0]
+    xla_scales = [s for s, c in enumerate(channels) if c % sublane != 0]
+
+    # (y, z) variants per kernel scale, feature-major (r_in, C, R^2)
     def norm_shift(s, r_in):
         return s * (r_in - 1) / 2.0
 
-    variants = []
-    for f in vox_feats:
-        v = f[0].astype(compute_dtype)
-        r_in = v.shape[0]
+    def yz_variant_list(v, r_in):
         z0 = resample_axis(v, 2, R, 0.0)
         zp = resample_axis(v, 2, R, norm_shift(delta, r_in))
         zm = resample_axis(v, 2, R, norm_shift(-delta, r_in))
-        for var in (resample_axis(z0, 1, R, 0.0),
-                    resample_axis(z0, 1, R, norm_shift(delta, r_in)),
-                    resample_axis(z0, 1, R, norm_shift(-delta, r_in)),
-                    resample_axis(zp, 1, R, 0.0),
-                    resample_axis(zm, 1, R, 0.0)):
-            # (r_in, R, R, C) -> (r_in, C, R^2)
-            variants.append(jnp.transpose(var, (0, 3, 1, 2)).reshape(
-                r_in, var.shape[-1], R * R))
+        return [resample_axis(z0, 1, R, 0.0),
+                resample_axis(z0, 1, R, norm_shift(delta, r_in)),
+                resample_axis(z0, 1, R, norm_shift(-delta, r_in)),
+                resample_axis(zp, 1, R, 0.0),
+                resample_axis(zm, 1, R, 0.0)]
 
-    # base = percep + xyz + b1 over the full grid, feature-major
+    variants = []
+    for s in kernel_scales:
+        v = vox_feats[s][0].astype(compute_dtype)
+        r_in = v.shape[0]
+        for var in yz_variant_list(v, r_in):
+            # (r_in, R, R, C) -> pre-tiled (r_in, R^2//T, C, T): each
+            # kernel DMA block is then one contiguous chunk.
+            c = var.shape[-1]
+            var = jnp.transpose(var.reshape(r_in, (R * R) // tile_t,
+                                            tile_t, c), (0, 1, 3, 2))
+            variants.append(var)
+
+    # base = percep + xyz + b1 (+ sub-sublane scales) over the full grid,
+    # computed in x-slabs so the f32 transients stay ~0.5 GB (a full-grid
+    # f32 (R^3, 512) buffer would not fit HBM next to the variant volumes).
     ms = 137
     pmaps = jnp.concatenate(
         [resize_bilinear_align_corners(f, ms, ms) for f in feat_l2],
@@ -272,23 +316,80 @@ def dense_grid_sdf_pallas(decoder_params: Dict,
                        w1_percep.astype(compute_dtype),
                        preferred_element_type=jnp.float32)
     pm512 = pm512.astype(compute_dtype)
-    xs = np.linspace(-0.5, 0.5, R).astype(np.float32)
-    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing='ij')
-    world = jnp.asarray(np.stack([gx, gy, gz], -1).reshape(1, -1, 3))
-    q = world[..., ::-1] * 2.0
-    homo = jnp.concatenate([q, jnp.ones((1, q.shape[1], 1), q.dtype)], -1)
-    pc_xyz = jnp.einsum('bnk,bkj->bnj', homo, trans_mat)
-    pc_xy = jnp.clip(pc_xyz[..., :2] / (pc_xyz[..., 2:] + 1e-8), 0.0,
-                     float(ms - 1))
-    half = (ms - 1) / 2.0
-    base = grid_sample_2d(pm512, (pc_xy - half) / half)[0].astype(jnp.float32)
-    base = base + q[0].astype(jnp.float32) @ w1_xyz + b1
-    # ship in compute dtype, feature-major (R, d1, R^2)
-    base = jnp.transpose(base.astype(compute_dtype).reshape(R, R * R, d1),
-                         (0, 2, 1))
 
-    out = pallas_dense_vox_decode(decoder_params, variants, base, R,
-                                  channels=channels, tile_t=tile_t,
-                                  delta=delta, compute_dtype=compute_dtype,
+    taps = [(0, (0, 0)), (0, (0, -1)), (0, (0, 1)), (0, (-1, 0)),
+            (0, (1, 0)), (-1, (0, 0)), (1, (0, 0))]
+    xla_yzv = {}
+    for s in xla_scales:
+        v = vox_feats[s][0].astype(compute_dtype)
+        xla_yzv[s] = dict(zip(VARIANT_ORDER,
+                              yz_variant_list(v, v.shape[0])))
+
+    xs = np.linspace(-0.5, 0.5, R).astype(np.float32)
+    half = (ms - 1) / 2.0
+    slab = max(R // 16, 1)
+    base_slabs = []
+    for x0 in range(0, R, slab):
+        S = min(slab, R - x0)
+        n = S * R * R
+        gx, gy, gz = np.meshgrid(xs[x0:x0 + S], xs, xs, indexing='ij')
+        world = jnp.asarray(np.stack([gx, gy, gz], -1).reshape(1, n, 3))
+        q = world[..., ::-1] * 2.0
+        homo = jnp.concatenate([q, jnp.ones((1, n, 1), q.dtype)], -1)
+        pc_xyz = jnp.einsum('bnk,bkj->bnj', homo, trans_mat)
+        pc_xy = jnp.clip(pc_xyz[..., :2] / (pc_xyz[..., 2:] + 1e-8), 0.0,
+                         float(ms - 1))
+        b = (grid_sample_2d(pm512, (pc_xy - half) / half)[0]
+             + q[0].astype(jnp.float32) @ w1_xyz + b1).astype(compute_dtype)
+
+        for s in xla_scales:
+            c = channels[s]
+            r_in = vox_feats[s].shape[1]
+            parts = []
+            for x_sign, key in taps:
+                yz = xla_yzv[s][key]
+                i0, i1, w = _axis_plan_slab(R, r_in,
+                                            norm_shift(delta * x_sign, r_in),
+                                            x0, S)
+                ws_ = jnp.asarray(w, compute_dtype).reshape(S, 1, 1, 1)
+                var = (jnp.take(yz, jnp.asarray(i0), axis=0) * (1 - ws_)
+                       + jnp.take(yz, jnp.asarray(i1), axis=0) * ws_)
+                parts.append(var.reshape(n, c))
+            stack = jnp.concatenate(parts, axis=-1)
+            rows = jnp.take(w1[:n_vox_rows],
+                            jnp.asarray(_scale_w1_rows(channels, s)), axis=0)
+            b = b + jnp.dot(stack, rows.astype(compute_dtype),
+                            preferred_element_type=compute_dtype)
+        # feature-major slab (S, d1, R^2)
+        base_slabs.append(jnp.transpose(b.reshape(S, R * R, d1), (0, 2, 1)))
+    base = jnp.concatenate(base_slabs, axis=0)
+
+    if not kernel_scales:
+        # degenerate (all scales sub-sublane, tiny test configs): base IS
+        # the complete fc_0 pre-activation; run the tail in XLA.
+        fc0 = jnp.transpose(base, (0, 2, 1)).reshape(R * R * R, d1)
+        h = jax.nn.relu(fc0.astype(jnp.float32)).astype(compute_dtype)
+        for name in ('fc_1', 'fc_2'):
+            k = decoder_params[name]['kernel'].astype(compute_dtype)
+            bb = decoder_params[name]['bias']
+            h = jax.nn.relu(jnp.dot(h, k, preferred_element_type=jnp.float32)
+                            + bb).astype(compute_dtype)
+        o = jnp.dot(h, decoder_params['fc_out']['kernel'].astype(
+            compute_dtype), preferred_element_type=jnp.float32) \
+            + decoder_params['fc_out']['bias']
+        return o[:, 0].reshape(R, R, R)
+
+    # per-kernel-scale tap weights (7, d1, C), rows from the FULL fc_0 layout
+    tap_weights = []
+    for s in kernel_scales:
+        c = channels[s]
+        rows = jnp.take(w1[:n_vox_rows],
+                        jnp.asarray(_scale_w1_rows(channels, s)),
+                        axis=0)  # (7*C, d1), ordered (d, c)
+        tap_weights.append(jnp.transpose(rows.reshape(7, c, d1), (0, 2, 1)))
+
+    out = pallas_dense_vox_decode(decoder_params, variants, tap_weights,
+                                  base, R, tile_t=tile_t, delta=delta,
+                                  compute_dtype=compute_dtype,
                                   interpret=interpret)
     return out.reshape(R, R, R)

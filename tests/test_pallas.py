@@ -43,8 +43,11 @@ def test_dense_decode_kernel_matches_xla(rng):
     from list_tpu.ops.pallas.dense_decode import dense_grid_sdf_pallas
 
     R = 16
+    # 8-channel voxel scales: multiples of the f32 sublane tile, so the
+    # kernel path (not just the XLA fallback for sub-sublane scales) is
+    # exercised.
     model = LIST(vox_res=R, point_feat=(128, 8, 8, 3), point_degree=(2, 2, 4),
-                 im_enc_layers=(1, 1, 1, 1, 2, 4, 4, 4), h_dim=8, support=2)
+                 im_enc_layers=(1, 1, 1, 1, 8, 8, 8, 8), h_dim=8, support=2)
     img = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
     q0 = jnp.zeros((1, 8, 3))
     vars_ = model.init(jax.random.PRNGKey(1), img, q0)

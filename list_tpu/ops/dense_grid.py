@@ -153,8 +153,6 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     # taps in displacement order d=0..6: (x_shift_sign, yz_variant_key)
     taps = [(0, (0, 0)), (0, (0, -1)), (0, (0, 1)), (0, (-1, 0)),
             (0, (1, 0)), (-1, (0, 0)), (1, (0, 0))]
-
-    xs = np.linspace(-0.5, 0.5, R).astype(np.float32)
     w2 = decoder_params['fc_1']['kernel']
     b2 = decoder_params['fc_1']['bias']
     w3 = decoder_params['fc_2']['kernel']
@@ -187,8 +185,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
             fc0 = part if fc0 is None else fc0 + part
 
         # ---- perceptual part (pre-projected 512-ch maps) -----------------
-        gx, gy, gz = np.meshgrid(xs[x0:x0 + S], xs, xs, indexing='ij')
-        world = jnp.asarray(np.stack([gx, gy, gz], -1).reshape(1, n, 3))
+        world = grid_world_coords(R, x0, S)
         q = world[..., ::-1] * 2.0  # (2z, 2y, 2x)
         homo = jnp.concatenate([q, jnp.ones((1, n, 1), q.dtype)], -1)
         pc_xyz = jnp.einsum('bnk,bkj->bnj', homo, trans_mat)
@@ -216,3 +213,15 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
 
 def feat_l2_channels(feat_l2) -> int:
     return sum(int(f.shape[-1]) for f in feat_l2)
+
+
+def grid_world_coords(R: int, x0: int, S: int) -> jnp.ndarray:
+    """(1, S*R*R, 3) world coordinates of dense-grid rows [x0, x0+S),
+    computed in-graph (a numpy meshgrid would bake megabytes of constants
+    into the HLO — at 256^3 that overwhelms the compiler)."""
+    step = 1.0 / (R - 1)
+    i = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 0) + float(x0)
+    j = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 1)
+    k = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 2)
+    world = jnp.stack([i, j, k], axis=-1) * step - 0.5
+    return world.reshape(1, S * R * R, 3)

@@ -38,7 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from list_tpu.ops.dense_grid import (_axis_plan, _scale_w1_rows,
-                                     feat_l2_channels, resample_axis)
+                                     feat_l2_channels, grid_world_coords,
+                                     resample_axis)
 
 
 def _axis_plan_slab(R, r_in, shift, x0, S):
@@ -325,15 +326,13 @@ def dense_grid_sdf_pallas(decoder_params: Dict,
         xla_yzv[s] = dict(zip(VARIANT_ORDER,
                               yz_variant_list(v, v.shape[0])))
 
-    xs = np.linspace(-0.5, 0.5, R).astype(np.float32)
     half = (ms - 1) / 2.0
     slab = max(R // 16, 1)
     base_slabs = []
     for x0 in range(0, R, slab):
         S = min(slab, R - x0)
         n = S * R * R
-        gx, gy, gz = np.meshgrid(xs[x0:x0 + S], xs, xs, indexing='ij')
-        world = jnp.asarray(np.stack([gx, gy, gz], -1).reshape(1, n, 3))
+        world = grid_world_coords(R, x0, S)
         q = world[..., ::-1] * 2.0
         homo = jnp.concatenate([q, jnp.ones((1, n, 1), q.dtype)], -1)
         pc_xyz = jnp.einsum('bnk,bkj->bnj', homo, trans_mat)

@@ -93,7 +93,7 @@ def _scale_w1_rows(channels: Sequence[int], scale_idx: int) -> np.ndarray:
                                              'compute_dtype'))
 def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    feat_l2: List[jnp.ndarray], trans_mat: jnp.ndarray,
-                   vox_res: int, slab: int = 32, delta: float = 0.0722,
+                   vox_res: int, slab: int = 8, delta: float = 0.0722,
                    compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Dense (vox_res^3) SDF evaluation for batch size 1.
 

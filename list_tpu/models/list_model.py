@@ -84,20 +84,36 @@ class LIST(nn.Module):
     im_enc_layers: Sequence[int] = DEFAULT_IM_ENC_LAYERS
     h_dim: int = 256
     support: int = 10
+    # Image-encoder width override — tiny multi-device dry runs / CI only;
+    # None keeps the reference ResNet18 architecture.
+    im_filters: Optional[Sequence[int]] = None
+    # Rematerialize the 3D voxel encoder in the backward pass (--remat):
+    # its multi-scale activations at batch 8 x 128^3 are the dominant HBM
+    # residents of the train step; recomputing them trades ~5% step FLOPs
+    # for several GB of live activation memory.
+    remat: bool = False
 
     @classmethod
     def from_config(cls, config) -> 'LIST':
         return cls(vox_res=config.vox_res, bb_min=config.bb_min,
                    bb_max=config.bb_max, point_feat=tuple(config.point_feat),
                    point_degree=tuple(config.point_degree),
-                   im_enc_layers=tuple(config.im_enc_layers))
+                   im_enc_layers=tuple(config.im_enc_layers),
+                   remat=bool(getattr(config, 'remat', 0)))
 
     def setup(self):
-        self.vox_encoder = VoxelEncoder2(layers=tuple(self.im_enc_layers))
+        # --remat: recompute voxel-encoder activations in backward instead
+        # of keeping them live (train=... stays a static python bool).
+        vox_cls = (nn.remat(VoxelEncoder2, static_argnums=(2,))
+                   if self.remat else VoxelEncoder2)
+        self.vox_encoder = vox_cls(layers=tuple(self.im_enc_layers))
         self.sdf_decoder = VoxelDecoder2(h_dim=self.h_dim)
         self.percep_pooling = PerceptualPooling()
-        self.im_encoder = ResEncoder()
-        self.im_encoder2 = ResEncoder()
+        enc_kw = ({} if self.im_filters is None
+                  else dict(filters=tuple(self.im_filters),
+                            fc_dim=max(self.im_filters)))
+        self.im_encoder = ResEncoder(**enc_kw)
+        self.im_encoder2 = ResEncoder(**enc_kw)
         self.point_decoder = TreeGraphDecoder(
             features=tuple(self.point_feat),
             degrees=tuple(self.point_degree), support=self.support)

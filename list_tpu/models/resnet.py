@@ -68,14 +68,24 @@ class BasicBlock(nn.Module):
 
 
 class ResEncoder(nn.Module):
-    """Stride-1-conv1 ResNet18; returns (featvec (B,128), pyramid list)."""
+    """Stride-1-conv1 ResNet18; returns (featvec (B,128), pyramid list).
+
+    ``filters``/``fc_dim`` default to the reference architecture
+    (modules.py:1027-1074); narrower settings exist only for cheap
+    multi-device dry runs and CI (never used by shipped configs).
+    """
+    filters: Sequence[int] = (64, 64, 128, 256, 512)
+    fc_dim: int = 1000
+    out_dim: int = 128
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> Tuple[jnp.ndarray, Sequence[jnp.ndarray]]:
         # x: (B, H, W, 3)
-        feat0 = nn.Conv(64, (7, 7), strides=(1, 1), padding=3, use_bias=False,
-                        kernel_init=torch_linear_kernel, name='conv1')(x)
+        f = tuple(self.filters)
+        feat0 = nn.Conv(f[0], (7, 7), strides=(1, 1), padding=3,
+                        use_bias=False, kernel_init=torch_linear_kernel,
+                        name='conv1')(x)
         feat0 = bn(train, 'bn1')(feat0)
         feat0 = nn.relu(feat0)
         # torch maxpool: kernel 3, stride 2, padding 1
@@ -85,14 +95,15 @@ class ResEncoder(nn.Module):
             h = BasicBlock(filters, stride, train, name=f'{name}_0')(h)
             return BasicBlock(filters, 1, train, name=f'{name}_1')(h)
 
-        feat1 = layer(h, 64, 1, 'layer1')
-        feat2 = layer(feat1, 128, 2, 'layer2')
-        feat3 = layer(feat2, 256, 2, 'layer3')
-        feat4 = layer(feat3, 512, 2, 'layer4')
+        feat1 = layer(h, f[1], 1, 'layer1')
+        feat2 = layer(feat1, f[2], 2, 'layer2')
+        feat3 = layer(feat2, f[3], 2, 'layer3')
+        feat4 = layer(feat3, f[4], 2, 'layer4')
 
         pooled = jnp.mean(feat4, axis=(1, 2))  # adaptive avgpool to 1x1
-        v = nn.Dense(1000, kernel_init=torch_linear_kernel,
-                     bias_init=make_torch_bias(512), name='fc')(pooled)
-        featvec = nn.Dense(128, kernel_init=torch_linear_kernel,
-                           bias_init=make_torch_bias(1000), name='fc1')(v)
+        v = nn.Dense(self.fc_dim, kernel_init=torch_linear_kernel,
+                     bias_init=make_torch_bias(f[4]), name='fc')(pooled)
+        featvec = nn.Dense(self.out_dim, kernel_init=torch_linear_kernel,
+                           bias_init=make_torch_bias(self.fc_dim),
+                           name='fc1')(v)
         return featvec, [feat0, feat1, feat2, feat3, feat4]

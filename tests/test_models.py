@@ -140,3 +140,39 @@ def test_coarsenet_forward():
     vars_ = m.init(jax.random.PRNGKey(0), img)
     pc = m.apply(vars_, img)
     assert pc.shape == (2, 16, 3)
+
+
+def test_list_remat_grad_parity():
+    """--remat (nn.remat around the voxel encoder) must not change params,
+    loss, or gradients — only the backward-pass memory schedule."""
+    import jax
+    import jax.numpy as jnp
+    from list_tpu.models import LIST
+
+    def build(remat):
+        m = LIST(vox_res=8, point_feat=(128, 8, 8, 3),
+                 point_degree=(2, 2, 4),
+                 im_enc_layers=(1, 1, 1, 1, 2, 4, 4, 4), h_dim=8, support=2,
+                 im_filters=(8, 8, 8, 8, 8), remat=remat)
+        img = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3),
+                          jnp.float32)
+        q = jnp.asarray(
+            np.random.RandomState(1).uniform(-0.5, 0.5, (2, 16, 3)),
+            jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), img, q)
+
+        def loss(p):
+            (occ, sdf), _ = m.apply(
+                {'params': p, 'batch_stats': v['batch_stats']},
+                img, q, None, True, mutable=['batch_stats'])
+            return jnp.sum(sdf ** 2) + jnp.sum(occ ** 2)
+
+        l, g = jax.value_and_grad(loss)(v['params'])
+        return v, l, g
+
+    v0, l0, g0 = build(False)
+    v1, l1, g1 = build(True)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+    assert max(jax.tree.leaves(diffs)) < 1e-4

@@ -12,11 +12,14 @@ linspace(bb_min, bb_max, R) in 'ij' order.  This module exploits that:
 
 1. **Gather-free voxel features.** For a regular query grid, trilinear
    sampling of each feature volume factorizes per axis with STATIC indices
-   and weights: position along an axis is a(i) = i*(R_s-1)/(R-1) + shift_d,
-   where shift_d = +-0.0722*(R_s-1)/2 for the displaced taps.  Each axis
-   pass is two static `take`s + a lerp (contiguous traffic).  Per scale the
-   7 displacement taps are stacked channel-wise, so the 3610-d first decoder
-   layer becomes 6 MXU matmuls (K = 7*C_s) accumulated per slab.
+   and weights.  Per output x-slab we slice the handful of source x-rows
+   each scale needs, resample y and z to the output resolution on that
+   slice (slab-local -> no R_s x R x R live volumes; this is what lets
+   256^3 fit), and fold the x-axis interpolation of all 7 displacement
+   taps into ONE banded-matrix einsum per scale
+   (L7 (7,S,r) x V7 (7,r,R,R,C) -> (S,R,R,7,C)), which lands on the MXU
+   and writes the (n, 7*C_s) matmul operand exactly once — no per-tap
+   gather/lerp/concat HBM temporaries (round-1 cost: ~300 ms/mesh).
 
 2. **Project-then-sample perceptual features.**  Bilinear sampling is
    linear, so sample(pmaps) @ W1_percep == sample(pmaps @ W1_percep).
@@ -25,7 +28,7 @@ linspace(bb_min, bb_max, R) in 'ij' order.  This module exploits that:
 
 Numerical parity with the general path (ops.sampling.grid_sample_3d border/
 align_corners semantics, including edge clamping) is enforced by
-tests/test_dense_grid.py.
+tests/test_dense_grid.py, including non-default bounding boxes.
 """
 
 from __future__ import annotations
@@ -39,24 +42,48 @@ import numpy as np
 
 from list_tpu.ops.sampling import grid_sample_2d, resize_bilinear_align_corners
 
+# taps in the reference displacement order d=0..6 (modules.py:205-214 via
+# the query remap, see round-1 derivation): (x_shift_sign, (sy, sz)).
+TAPS = ((0, (0, 0)), (0, (0, -1)), (0, (0, 1)), (0, (-1, 0)),
+        (0, (1, 0)), (-1, (0, 0)), (1, (0, 0)))
 
-def _axis_plan(r_out: int, r_in: int, shift: float):
+
+def _axis_positions(r_out: int, r_in: int, shift: float,
+                    bb_min: float = -0.5, bb_max: float = 0.5) -> np.ndarray:
+    """Source positions (input-voxel units, border-clamped) of the output
+    grid along one axis.
+
+    The decoder receives normalized coords q = 2*world (ops.grid.
+    reorder_and_scale_query), and grid_sample align_corners=True maps
+    q -> (q+1)/2*(r_in-1).  ``shift`` is the displacement tap offset in
+    input-voxel units."""
+    w = bb_min + np.arange(r_out) * (bb_max - bb_min) / max(r_out - 1, 1)
+    pos = (2.0 * w + 1.0) * 0.5 * (r_in - 1) + shift
+    return np.clip(pos, 0.0, r_in - 1)
+
+
+def _axis_plan(r_out: int, r_in: int, shift: float,
+               bb_min: float = -0.5, bb_max: float = 0.5):
     """Static (i0, i1, w) for 1-D border-clamped linear resampling."""
-    pos = np.arange(r_out) * (r_in - 1) / max(r_out - 1, 1) + shift
-    pos = np.clip(pos, 0.0, r_in - 1)
+    pos = _axis_positions(r_out, r_in, shift, bb_min, bb_max)
     i0 = np.floor(pos).astype(np.int32)
     w = (pos - i0).astype(np.float32)
     i1 = np.minimum(i0 + 1, r_in - 1).astype(np.int32)
     return i0, i1, w
 
 
-def resample_axis(vol: jnp.ndarray, axis: int, r_out: int, shift: float
-                  ) -> jnp.ndarray:
+def norm_shift(s: float, r_in: int) -> float:
+    """Normalized-space displacement -> input-voxel units."""
+    return s * (r_in - 1) / 2.0
+
+
+def resample_axis(vol: jnp.ndarray, axis: int, r_out: int, shift: float,
+                  bb_min: float = -0.5, bb_max: float = 0.5) -> jnp.ndarray:
     """Border-clamped linear resample of one axis to ``r_out`` with a
     constant ``shift`` (in input-voxel units).  Static indices -> XLA turns
     the takes into contiguous copies."""
     r_in = vol.shape[axis]
-    i0, i1, w = _axis_plan(r_out, r_in, shift)
+    i0, i1, w = _axis_plan(r_out, r_in, shift, bb_min, bb_max)
     wshape = [1] * vol.ndim
     wshape[axis] = r_out
     w = jnp.asarray(w, vol.dtype).reshape(wshape)
@@ -89,12 +116,35 @@ def _scale_w1_rows(channels: Sequence[int], scale_idx: int) -> np.ndarray:
                        for d in range(7) for ch in range(c)], np.int64)
 
 
-@functools.partial(jax.jit, static_argnames=('vox_res', 'slab', 'delta',
-                                             'compute_dtype'))
+def _slab_x_plans(R: int, r_in: int, x0: int, S: int, delta: float,
+                  bb_min: float, bb_max: float):
+    """Per-tap banded x-interpolation for one output slab.
+
+    Returns (lo, hi, L7) where ``vol[lo:hi]`` are the source x-rows the
+    slab needs across all 3 x-shifts and ``L7`` is the (7, S, hi-lo)
+    banded matrix with L7[t] @ rows == the x-lerp of tap t."""
+    plans = {sgn: _axis_plan(R, r_in, norm_shift(delta * sgn, r_in),
+                             bb_min, bb_max) for sgn in (-1, 0, 1)}
+    lo = min(int(p[0][x0]) for p in plans.values())
+    hi = max(int(p[1][x0 + S - 1]) for p in plans.values()) + 1
+    L7 = np.zeros((7, S, hi - lo), np.float32)
+    for t, (sgn, _) in enumerate(TAPS):
+        i0, i1, w = plans[sgn]
+        for s in range(S):
+            L7[t, s, i0[x0 + s] - lo] += 1.0 - w[x0 + s]
+            L7[t, s, i1[x0 + s] - lo] += w[x0 + s]
+    return lo, hi, L7
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'vox_res', 'slab', 'delta', 'compute_dtype', 'bb_min', 'bb_max',
+    'fuse_scales'))
 def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    feat_l2: List[jnp.ndarray], trans_mat: jnp.ndarray,
                    vox_res: int, slab: int = 8, delta: float = 0.0722,
-                   compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                   compute_dtype=jnp.bfloat16, bb_min: float = -0.5,
+                   bb_max: float = 0.5, fuse_scales: bool = True
+                   ) -> jnp.ndarray:
     """Dense (vox_res^3) SDF evaluation for batch size 1.
 
     decoder_params: the VoxelDecoder2 param subtree {fc_0, fc_1, fc_2,
@@ -102,6 +152,10 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     volumes (1, R_s, R_s, R_s, C_s).  feat_l2: 5 image pyramid maps
     (1, H, W, C).  trans_mat: (1, 4, 3).  Returns (R, R, R) float32 raw SDF
     (caller divides by sdf_scale).
+
+    fuse_scales=True: all scales' tap stacks concat into one (n, 7*sum C)
+    operand and ONE fc_0 matmul per slab; False: one matmul per scale with
+    accumulation (more fc0-sized HBM passes, kept for A/B timing).
     """
     R = vox_res
     channels = tuple(int(f.shape[-1]) for f in vox_feats)
@@ -109,10 +163,15 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     b1 = decoder_params['fc_0']['bias']
     n_vox_rows = sum(channels) * 7
     n_percep = feat_l2_channels(feat_l2)
-    w1_scale = [jnp.take(w1[:n_vox_rows],
-                         jnp.asarray(_scale_w1_rows(channels, s)),
-                         axis=0).astype(compute_dtype)
-                for s in range(len(channels))]
+    if fuse_scales:
+        w1_vox = jnp.take(w1[:n_vox_rows],
+                          jnp.asarray(vox_w1_permutation(channels)),
+                          axis=0).astype(compute_dtype)
+    else:
+        w1_scale = [jnp.take(w1[:n_vox_rows],
+                             jnp.asarray(_scale_w1_rows(channels, s)),
+                             axis=0).astype(compute_dtype)
+                    for s in range(len(channels))]
     w1_percep = w1[n_vox_rows:n_vox_rows + n_percep]
     w1_xyz = w1[n_vox_rows + n_percep:]
 
@@ -127,32 +186,6 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                        preferred_element_type=jnp.float32)
     pm512 = pm512.astype(compute_dtype)
 
-    # ---- per-scale (y, z)-resampled variants -----------------------------
-    def norm_shift(s, r_in):
-        return s * (r_in - 1) / 2.0
-
-    # The query remap q = (2z, 2y, 2x) means output[i,j,k] resamples volume
-    # axes (0, 1, 2) = world (x, y, z) directly; displacement taps:
-    # d0 center, d1/d2 volume z axis -+, d3/d4 y axis, d5/d6 x axis.
-    yz_variants = []  # per scale: dict[(sy, sz)] -> (R_s, R, R, C)
-    for f in vox_feats:
-        f = f[0].astype(compute_dtype)
-        r_in = f.shape[0]
-        z0 = resample_axis(f, 2, R, 0.0)
-        zp = resample_axis(f, 2, R, norm_shift(delta, r_in))
-        zm = resample_axis(f, 2, R, norm_shift(-delta, r_in))
-        d = {
-            (0, 0): resample_axis(z0, 1, R, 0.0),
-            (1, 0): resample_axis(z0, 1, R, norm_shift(delta, r_in)),
-            (-1, 0): resample_axis(z0, 1, R, norm_shift(-delta, r_in)),
-            (0, 1): resample_axis(zp, 1, R, 0.0),
-            (0, -1): resample_axis(zm, 1, R, 0.0),
-        }
-        yz_variants.append(d)
-
-    # taps in displacement order d=0..6: (x_shift_sign, yz_variant_key)
-    taps = [(0, (0, 0)), (0, (0, -1)), (0, (0, 1)), (0, (-1, 0)),
-            (0, (1, 0)), (-1, (0, 0)), (1, (0, 0))]
     w2 = decoder_params['fc_1']['kernel']
     b2 = decoder_params['fc_1']['bias']
     w3 = decoder_params['fc_2']['kernel']
@@ -160,32 +193,50 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     w4 = decoder_params['fc_out']['kernel']
     b4 = decoder_params['fc_out']['bias']
 
+    vols = [f[0].astype(compute_dtype) for f in vox_feats]
+
     out_slabs = []
     for x0 in range(0, R, slab):
         S = min(slab, R - x0)
         n = S * R * R
-        fc0 = None
-        # ---- voxel features: per scale, 7 taps stacked channel-wise ------
-        for si, f in enumerate(vox_feats):
-            r_in = f.shape[1]
-            tap_parts = []
-            for (x_sign, key) in taps:
-                yz = yz_variants[si][key]
-                i0, i1, w = _axis_plan(R, r_in, norm_shift(delta * x_sign,
-                                                           r_in))
-                ws = jnp.asarray(w[x0:x0 + S],
-                                 compute_dtype).reshape(S, 1, 1, 1)
-                v = (jnp.take(yz, jnp.asarray(i0[x0:x0 + S]), axis=0)
-                     * (1 - ws)
-                     + jnp.take(yz, jnp.asarray(i1[x0:x0 + S]), axis=0) * ws)
-                tap_parts.append(v.reshape(n, -1))
-            stack = jnp.concatenate(tap_parts, axis=-1)  # (n, 7*C_s)
-            part = jnp.dot(stack, w1_scale[si],
+
+        # ---- voxel features: slab-local variants + banded tap einsum -----
+        parts = []
+        for si, f in enumerate(vols):
+            r_in = f.shape[0]
+            lo, hi, L7 = _slab_x_plans(R, r_in, x0, S, delta, bb_min, bb_max)
+            sub = f[lo:hi]  # (r, r_in, r_in, C) contiguous x-rows
+            dz = norm_shift(delta, r_in)
+            z0 = resample_axis(sub, 2, R, 0.0, bb_min, bb_max)
+            zp = resample_axis(sub, 2, R, dz, bb_min, bb_max)
+            zm = resample_axis(sub, 2, R, -dz, bb_min, bb_max)
+            variants = {
+                (0, 0): resample_axis(z0, 1, R, 0.0, bb_min, bb_max),
+                (1, 0): resample_axis(z0, 1, R, dz, bb_min, bb_max),
+                (-1, 0): resample_axis(z0, 1, R, -dz, bb_min, bb_max),
+                (0, 1): resample_axis(zp, 1, R, 0.0, bb_min, bb_max),
+                (0, -1): resample_axis(zm, 1, R, 0.0, bb_min, bb_max),
+            }
+            # (7, r, R, R, C): per-tap source rows (x-shifted taps reuse the
+            # same slab row range; L7 encodes their shifted bands).
+            V7 = jnp.stack([variants[key] for (_, key) in TAPS])
+            A = jnp.einsum('tsr,tryzc->syztc',
+                           jnp.asarray(L7, compute_dtype), V7,
                            preferred_element_type=jnp.float32)
-            fc0 = part if fc0 is None else fc0 + part
+            parts.append(A.astype(compute_dtype).reshape(n, 7 * f.shape[-1]))
+
+        if fuse_scales:
+            stack = jnp.concatenate(parts, axis=-1)  # (n, 7*sum(C))
+            fc0 = jnp.dot(stack, w1_vox, preferred_element_type=jnp.float32)
+        else:
+            fc0 = None
+            for si, part in enumerate(parts):
+                p = jnp.dot(part, w1_scale[si],
+                            preferred_element_type=jnp.float32)
+                fc0 = p if fc0 is None else fc0 + p
 
         # ---- perceptual part (pre-projected 512-ch maps) -----------------
-        world = grid_world_coords(R, x0, S)
+        world = grid_world_coords(R, x0, S, bb_min, bb_max)
         q = world[..., ::-1] * 2.0  # (2z, 2y, 2x)
         homo = jnp.concatenate([q, jnp.ones((1, n, 1), q.dtype)], -1)
         pc_xyz = jnp.einsum('bnk,bkj->bnj', homo, trans_mat)
@@ -215,13 +266,14 @@ def feat_l2_channels(feat_l2) -> int:
     return sum(int(f.shape[-1]) for f in feat_l2)
 
 
-def grid_world_coords(R: int, x0: int, S: int) -> jnp.ndarray:
+def grid_world_coords(R: int, x0: int, S: int, bb_min: float = -0.5,
+                      bb_max: float = 0.5) -> jnp.ndarray:
     """(1, S*R*R, 3) world coordinates of dense-grid rows [x0, x0+S),
     computed in-graph (a numpy meshgrid would bake megabytes of constants
     into the HLO — at 256^3 that overwhelms the compiler)."""
-    step = 1.0 / (R - 1)
+    step = (bb_max - bb_min) / (R - 1)
     i = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 0) + float(x0)
     j = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 1)
     k = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 2)
-    world = jnp.stack([i, j, k], axis=-1) * step - 0.5
+    world = jnp.stack([i, j, k], axis=-1) * step + bb_min
     return world.reshape(1, S * R * R, 3)

@@ -246,7 +246,8 @@ class LISTExecutor(BaseExecutor):
 
     def _get_grid_chunks(self):
         if self._grid_chunks is None:
-            grid = create_grid_points_from_bounds(-0.5, 0.5, self.vox_res)
+            grid = create_grid_points_from_bounds(self.bb_min, self.bb_max,
+                                                  self.vox_res)
             grid = grid.astype(np.float32)[None]  # (1, R^3, 3)
             n = grid.shape[1]
             chunk = self.test_pointnum
@@ -274,9 +275,14 @@ class LISTExecutor(BaseExecutor):
                 and img.shape[0] == 1
         if fast:
             from list_tpu.ops.dense_grid import dense_grid_sdf
+            # Smaller slabs above 192^3: the (n, 7*369) matmul operand and
+            # f32 fc0 scale with slab*R^2 (256^3 at slab=8 is a 2.7 GB
+            # operand per slab; 4 keeps peak HBM well under budget).
+            slab = 8 if self.vox_res <= 192 else 4
             grid = dense_grid_sdf(self.state.params['sdf_decoder'],
                                   enc['vox_feat'], enc['feat_l2'],
-                                  enc['trans_mat'], self.vox_res)
+                                  enc['trans_mat'], self.vox_res, slab=slab,
+                                  bb_min=self.bb_min, bb_max=self.bb_max)
             return np.asarray(grid, np.float32) / self.sdf_scale
         qsh = query_sharding(self.mesh)
         vals = []
@@ -292,7 +298,7 @@ class LISTExecutor(BaseExecutor):
         mesh_gt = batch.get('gt_mesh')
         trans_mat = batch.get('transmat')
         pred_values = self.predict_grid(img, trans_mat)
-        pred_mesh = generate_mesh(pred_values, -0.5, 0.5,
+        pred_mesh = generate_mesh(pred_values, self.bb_min, self.bb_max,
                                   as_trimesh_obj=True)
         eval_score = (self.eval(pred_mesh, mesh_gt)
                       if eval_pred and mesh_gt is not None else {})

@@ -48,6 +48,36 @@ def test_dense_matches_general_fp32(tiny_setup):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_dense_matches_general_nondefault_bbox(tiny_setup):
+    """bb=(-0.6, 0.6): the dense path must reproduce the general path's
+    out-of-[-1,1] border clamping and the bbox-dependent grid coords."""
+    model, vars_, enc, R = tiny_setup
+    bb_min, bb_max = -0.6, 0.6
+    grid_pts = create_grid_points_from_bounds(bb_min, bb_max,
+                                              R).astype(np.float32)
+    q = jnp.asarray(grid_pts[None])
+    sdf_general = np.asarray(
+        model.apply(vars_, q, enc, method=model.decode_sdf)).reshape(R, R, R)
+    sdf_dense = np.asarray(dense_grid_sdf(
+        vars_['params']['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
+        enc['trans_mat'], R, slab=4, compute_dtype=jnp.float32,
+        bb_min=bb_min, bb_max=bb_max))
+    np.testing.assert_allclose(sdf_dense, sdf_general, atol=2e-4, rtol=1e-3)
+
+
+def test_dense_unfused_scales_matches(tiny_setup):
+    """fuse_scales=False (per-scale matmuls) is numerically equivalent."""
+    model, vars_, enc, R = tiny_setup
+    a = np.asarray(dense_grid_sdf(
+        vars_['params']['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
+        enc['trans_mat'], R, slab=4, compute_dtype=jnp.float32))
+    b = np.asarray(dense_grid_sdf(
+        vars_['params']['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
+        enc['trans_mat'], R, slab=4, compute_dtype=jnp.float32,
+        fuse_scales=False))
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
 def test_dense_bf16_close(tiny_setup):
     model, vars_, enc, R = tiny_setup
     grid_pts = create_grid_points_from_bounds(-0.5, 0.5, R).astype(np.float32)

@@ -139,6 +139,11 @@ def _build_parser() -> ArgumentParser:
     parser.add_argument('--remat', type=int, default=1,
                         help='Rematerialize the voxel encoder in training to '
                              'trade FLOPs for HBM.')
+    parser.add_argument('--resnet_ckpt', type=str, default='',
+                        help='torchvision ResNet18 state_dict (.pt/.pth/.npz)'
+                             ' to initialize im_encoder/im_encoder2 from '
+                             '(the reference uses ImageNet-pretrained '
+                             'torchvision weights, modules.py:1030).')
     parser.add_argument('--profile_dir', type=str, default='',
                         help='If set, write a jax.profiler trace here.')
     parser.add_argument('--num_workers', type=int, default=4)

@@ -104,10 +104,26 @@ def train_one_epoch(epoch, executor, data_iter, config, writer
     return mean_loss
 
 
+def _maybe_load_resnet(executor, config) -> None:
+    """--resnet_ckpt: pretrained ResNet18 init for the image encoders,
+    applied right after init (checkpoint restores override it, exactly like
+    the reference's construct-then-restore order, train.py:124-178)."""
+    path = getattr(config, 'resnet_ckpt', '')
+    if not path:
+        return
+    from list_tpu.utils.torch_port import apply_resnet_ckpt
+    executor.state, loaded = apply_resnet_ckpt(executor.state, path)
+    print(f'resnet_ckpt {path} loaded into: {", ".join(loaded)}')
+
+
 def train(config) -> None:
     model = build_model(config)
     Dataset = registry.get_class(registry.resolve(config.dataset))
     trainset = Dataset(config, 'train')
+    if hasattr(trainset, 'ensure_occupancies'):
+        # Precompute occupancy caches before workers start (kills the
+        # reference's h5-write-during-training race, Datasets.py:242-252).
+        trainset.ensure_occupancies()
     train_iter = DataLoader(trainset, batch_size=config.train_batch_size,
                             shuffle=True, num_workers=config.num_workers,
                             drop_last=True,
@@ -131,6 +147,7 @@ def train(config) -> None:
 
     if config.load_pretrain and os.path.exists(best_train_path):
         executor.init_state(sample)
+        _maybe_load_resnet(executor, config)
         ep, executor.state, best_loss = ckpt.load_checkpoint(
             best_train_path, executor.state)
         epoch = ep
@@ -153,6 +170,7 @@ def train(config) -> None:
                           'best_PD_test.ckpt')
         frozen = ('im_encoder', 'point_decoder')
         executor.init_state(sample, frozen_prefixes=frozen)
+        _maybe_load_resnet(executor, config)
         if os.path.exists(ime):
             executor.state = ckpt.load_submodule(ime, executor.state,
                                                  'im_encoder')
@@ -169,9 +187,11 @@ def train(config) -> None:
         warm_started = True
     else:
         executor.init_state(sample)
+        _maybe_load_resnet(executor, config)
 
     if executor.state is None:
         executor.init_state(sample, frozen_prefixes=frozen)
+        _maybe_load_resnet(executor, config)
 
     writer = SummaryWriter(os.path.join(config.results_dir, 'summary'))
     writer.add_text('opt', str(config), 0)

@@ -93,3 +93,35 @@ def load_torch_state_dict(path: str) -> Dict:
         sd = sd['state_dict']
     return {k: v.numpy() if hasattr(v, 'numpy') else v
             for k, v in sd.items()}
+
+
+def load_state_dict_file(path: str) -> Dict:
+    """Load a torchvision state_dict from .npz (numpy archive of the same
+    key names) or .pt/.pth (torch.load)."""
+    if path.endswith('.npz'):
+        return dict(np.load(path))
+    return load_torch_state_dict(path)
+
+
+def apply_resnet_ckpt(state, path: str,
+                      encoder_names=('im_encoder', 'im_encoder2',
+                                     'image_encoder')):
+    """Splice pretrained ResNet18 weights (--resnet_ckpt) into every image
+    encoder present in a TrainState (reference initializes from torchvision
+    ImageNet weights, modules.py:1030; the same IME weights go to both
+    im_encoder and im_encoder2, train.py:187-210)."""
+    sd = load_state_dict_file(path)
+    params = dict(state.params)
+    stats = dict(state.batch_stats)
+    hit = []
+    for name in encoder_names:
+        if name not in params:
+            continue
+        p, s = resencoder_from_torch(sd, dict(params[name]),
+                                     dict(stats.get(name, {})))
+        params[name] = p
+        stats[name] = s
+        hit.append(name)
+    if not hit:
+        raise ValueError(f'no image encoder found among {encoder_names}')
+    return state.replace(params=params, batch_stats=stats), hit

@@ -108,3 +108,38 @@ def test_resencoder_matches_torch(rng):
     fc1_b = np.asarray(vars_['params']['fc1']['bias'])
     expected = v_ref.numpy() @ fc1_k + fc1_b
     np.testing.assert_allclose(np.asarray(v), expected, atol=2e-2)
+
+
+def test_apply_resnet_ckpt_end_to_end(rng, tmp_path):
+    """--resnet_ckpt flag path: .npz state_dict -> TrainState with the
+    ported weights spliced into BOTH image encoders (reference loads the
+    same IME weights into im_encoder and im_encoder2, train.py:187-210)."""
+    from list_tpu.train.state import TrainState, make_optimizer
+    from list_tpu.utils.torch_port import apply_resnet_ckpt
+
+    sd = _rand_sd(rng)
+    path = str(tmp_path / 'resnet18.npz')
+    np.savez(path, **sd)
+
+    m = ResEncoder()
+    x = jnp.zeros((1, 32, 32, 3))
+    v1 = m.init(jax.random.PRNGKey(0), x)
+    v2 = m.init(jax.random.PRNGKey(1), x)
+    params = {'im_encoder': dict(v1['params']),
+              'im_encoder2': dict(v2['params']),
+              'other': {'kernel': np.zeros((2, 2), np.float32)}}
+    stats = {'im_encoder': dict(v1['batch_stats']),
+             'im_encoder2': dict(v2['batch_stats'])}
+    state = TrainState.create(params, stats, make_optimizer(1e-4))
+
+    state, loaded = apply_resnet_ckpt(state, path)
+    assert sorted(loaded) == ['im_encoder', 'im_encoder2']
+    for name in loaded:
+        got = np.asarray(state.params[name]['layer3_0']['conv1']['kernel'])
+        want = np.transpose(sd['layer3.0.conv1.weight'], (2, 3, 1, 0))
+        np.testing.assert_allclose(got, want)
+        np.testing.assert_allclose(
+            np.asarray(state.batch_stats[name]['bn1']['mean']),
+            sd['bn1.running_mean'])
+    # untouched submodule survives
+    assert 'other' in state.params

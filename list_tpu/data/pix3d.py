@@ -46,10 +46,14 @@ class Pix3D:
         self._gen = np.random.default_rng(getattr(config, 'seed', 333))
 
         is_train = mode == 'train'
+        # Reference hardcodes Resize(224) (Datasets.py:344); honoring
+        # config.img_res (default 224) keeps parity while letting tiny CI
+        # configs run the full Pix3D pipeline cheaply.
+        self.img_res = getattr(config, 'img_res', 224)
         self.transforms = ImageTransform(
             random_h_flip=config.random_h_flip and is_train,
             color_jitter=config.color_jitter and is_train,
-            normalize=config.normalize, resize_to=224)
+            normalize=config.normalize, resize_to=self.img_res)
 
         if mode == 'val':
             mode = 'test'
@@ -102,6 +106,32 @@ class Pix3D:
     def __len__(self):
         return len(self.datalist)
 
+    def _occ_cache(self, query_path: str):
+        occ_file = os.path.join(os.path.dirname(query_path),
+                                'occupancies.h5')
+        key = f'res_{self.vox_res}_points_{self.coarse_points}'
+        return occ_file, key
+
+    def ensure_occupancies(self) -> None:
+        """Precompute all occupancy caches up-front (removes the reference's
+        h5-write-during-training hazard, Datasets.py:242-252 — workers
+        append to a shared 'a'-mode file mid-epoch).  The cache key ignores
+        which random coarse subsample produced the grid (reference caches
+        whichever ran first); here the precompute uses a deterministic
+        subsample so the artifact is reproducible."""
+        gen = np.random.default_rng(getattr(self.config, 'seed', 333))
+        for data in self.datalist:
+            occ_file, key = self._occ_cache(data['query_path'])
+            with _h5_lock, h5py.File(occ_file, 'a') as f:
+                if key in f.keys():
+                    continue
+                with h5py.File(data['query_path'], 'r') as q:
+                    pc = q['grid_points'][:]
+                pc = pc[gen.integers(0, pc.shape[0], self.coarse_points)]
+                occ = quantize_occupancy(pc, self.config.bb_min,
+                                         self.config.bb_max, self.vox_res)
+                f.create_dataset(key, data=occ, compression='gzip')
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         data = self.datalist[index]
         img = np.load(data['img_path'])
@@ -118,16 +148,19 @@ class Pix3D:
         choice = self._gen.integers(0, pc.shape[0], self.coarse_points)
         pc = pc[choice]
 
-        occ_file = os.path.join(os.path.dirname(data['query_path']),
-                                'occupancies.h5')
-        key = f'res_{self.vox_res}_points_{self.coarse_points}'
+        occ_file, key = self._occ_cache(data['query_path'])
         with _h5_lock:
-            with h5py.File(occ_file, 'a') as f:
-                if key in f.keys():
-                    occ = f[key][:]
-                else:
-                    occ = quantize_occupancy(pc, self.config.bb_min,
-                                             self.config.bb_max, self.vox_res)
+            occ = None
+            if os.path.exists(occ_file):
+                # pure read-only when the cache exists (no 'a'-mode handle
+                # mid-epoch; ensure_occupancies() prefills these)
+                with h5py.File(occ_file, 'r') as f:
+                    if key in f.keys():
+                        occ = f[key][:]
+            if occ is None:
+                occ = quantize_occupancy(pc, self.config.bb_min,
+                                         self.config.bb_max, self.vox_res)
+                with h5py.File(occ_file, 'a') as f:
                     f.create_dataset(key, data=occ, compression='gzip')
         occ = occ.reshape((self.vox_res,) * 3)
 
@@ -151,7 +184,7 @@ class Pix3D:
             pc = f['grid_points'][:]
         choice = self.rng.randint(0, pc.shape[0], self.coarse_points)
         pc = pc[choice]
-        img = resize(to_float(rgb), 224)
+        img = resize(to_float(rgb), self.img_res)
         return {'rgb_image': img[None], 'gt_mesh': gt_mesh,
                 'pc': pc.astype(np.float32), 'cat_id': cat,
                 'shape_id': model_folder}

@@ -5,17 +5,20 @@ Per shape: fetch test data, reuse a cached ``_pred.obj`` when present
 mesh extraction; accumulate per-category metrics into a CSV with an appended
 mean row.  Supports manual test-set sharding via --chunk_s/--chunk_l.
 
-TPU-first addition: the device grid evaluation of the next shape overlaps the
-host-side marching cubes + KD-tree eval of the current shape (a worker thread
-drains a 1-deep queue), so the TPU never idles on host work.
+TPU-first addition: device grid evaluation of shape i+1 overlaps the
+host-side marching cubes + KD-tree/ray-stab eval of shape i.  The host work
+runs on a single worker thread (depth-1 pipeline: the main thread waits for
+shape i's host work to finish before submitting shape i+1's, preserving
+order and bounding memory); the native mesh/eval routines are ctypes calls
+that release the GIL, so the overlap is real.  Executors without a
+``predict_grid`` (CoarseNet) fall back to the serial per-shape path.
 """
 
 from __future__ import annotations
 
 import os
-import queue
-import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -23,13 +26,16 @@ import numpy as np
 from list_tpu import registry
 from list_tpu.train import checkpoints as ckpt
 from list_tpu.train.trainer import build_executor, build_model
-from list_tpu.utils.logging import Timer, write_scores_csv
+from list_tpu.utils.logging import write_scores_csv
+from list_tpu.utils.meshing import generate_mesh
 from list_tpu.utils.meshio import load_mesh
 
 
 def test_one_without_gttransmat(executor, dataset, cat_id, shape_id,
                                 output_dir, cam_id, eval_pred
                                 ) -> Dict[str, float]:
+    """Serial per-shape path (kept for executors without predict_grid and
+    for API parity with the reference's test_one_*, test.py:14-52)."""
     os.makedirs(os.path.join(output_dir, cat_id, shape_id), exist_ok=True)
     eval_score: Dict[str, float] = {}
     fname = os.path.join(output_dir, cat_id, shape_id, str(cam_id).zfill(2))
@@ -48,6 +54,40 @@ def test_one_without_gttransmat(executor, dataset, cat_id, shape_id,
         executor.save(batch, pred, fname)
         print('Time', time.time() - start)
     return eval_score
+
+
+def _device_infer(executor, dataset, cat_id, shape_id, output_dir, cam_id):
+    """Device part of one shape: returns (batch, fname, pred_values).
+    pred_values is None when a cached mesh exists (host-only re-eval)."""
+    os.makedirs(os.path.join(output_dir, cat_id, shape_id), exist_ok=True)
+    fname = os.path.join(output_dir, cat_id, shape_id, str(cam_id).zfill(2))
+    batch = dataset.get_testdata(cat_id, shape_id, cam_id)
+    if os.path.exists(fname + '_pred.obj'):
+        return batch, fname, None
+    pred_values = executor.predict_grid(batch['rgb_image'],
+                                        batch.get('transmat'))
+    return batch, fname, pred_values
+
+
+def _host_finish(executor, batch, fname, pred_values, eval_pred
+                 ) -> Dict[str, float]:
+    """Host part of one shape: marching cubes + save + eval (worker thread;
+    mesh/eval natives release the GIL)."""
+    if pred_values is None:
+        try:
+            pred = load_mesh(fname + '_pred.obj')
+            if eval_pred:
+                return executor.eval(pred, batch['gt_mesh'])
+            return {}
+        except Exception:
+            pred_values = executor.predict_grid(batch['rgb_image'],
+                                                batch.get('transmat'))
+    mesh = generate_mesh(pred_values, executor.bb_min, executor.bb_max,
+                         as_trimesh_obj=True)
+    mesh.export(fname + '_pred.obj')
+    if eval_pred and batch.get('gt_mesh') is not None:
+        return executor.eval(mesh, batch['gt_mesh'])
+    return {}
 
 
 def test_all(config) -> Optional[str]:
@@ -95,7 +135,34 @@ def test_all(config) -> Optional[str]:
                           or start_idx + config.chunk_l > test_size) \
         else config.chunk_l + 1
 
+    overlap = hasattr(executor, 'predict_grid')
+    pool = ThreadPoolExecutor(max_workers=1) if overlap else None
+    pending = None  # (future, cat_id, shape_id, cam_id, shape_start)
+
     eval_start = time.time()
+    done = 0
+
+    def record(eval_score, cat_id, shape_id, cam_id, shape_start,
+               batch_idx):
+        nonlocal done
+        if config.eval_pred:
+            row = {'ID': f'{shape_id}_{str(cam_id).zfill(2)}'}
+            row.update(eval_score)
+            rows.append(row)
+        for k, v in eval_score.items():
+            if np.isnan(v):
+                continue
+            eval_scores[k] = eval_scores.get(k, 0.0) + v
+        done += 1
+        eta = ((time.time() - eval_start) / done) * chunk \
+            - (time.time() - eval_start)
+        h = int(eta // 3600)
+        m = int((eta - 3600 * h) // 60)
+        s = int(eta - 3600 * h - 60 * m)
+        print(f'Finished: {start_idx + done}/{start_idx + chunk} || '
+              f'Time: {time.time() - shape_start:0.5f} || '
+              f'ETA: {h:02d}h:{m:02d}m:{s:02d}s')
+
     cat_id = 'all'
     for batch_idx, data in enumerate(
             testset.datalist[start_idx:start_idx + chunk]):
@@ -105,26 +172,27 @@ def test_all(config) -> Optional[str]:
         cam_ids = ([data['img_id'].split('.')[0]] if 'img_id' in data
                    else [config.test_cam_id])
         for cam_id in cam_ids:
-            eval_score = test_one_without_gttransmat(
-                executor, testset, cat_id, shape_id, output_dir, cam_id,
-                config.eval_pred)
-            if config.eval_pred:
-                row = {'ID': f'{shape_id}_{str(cam_id).zfill(2)}'}
-                row.update(eval_score)
-                rows.append(row)
-            for k, v in eval_score.items():
-                if np.isnan(v):
-                    continue
-                eval_scores[k] = eval_scores.get(k, 0.0) + v
+            if overlap:
+                batch, fname, vals = _device_infer(
+                    executor, testset, cat_id, shape_id, output_dir, cam_id)
+                if pending is not None:
+                    fut, *meta = pending
+                    record(fut.result(), *meta)
+                pending = (pool.submit(_host_finish, executor, batch, fname,
+                                       vals, config.eval_pred),
+                           cat_id, shape_id, cam_id, shape_start, batch_idx)
+            else:
+                eval_score = test_one_without_gttransmat(
+                    executor, testset, cat_id, shape_id, output_dir, cam_id,
+                    config.eval_pred)
+                record(eval_score, cat_id, shape_id, cam_id, shape_start,
+                       batch_idx)
 
-        eta = ((time.time() - eval_start) / (batch_idx + 1)) * chunk \
-            - (time.time() - eval_start)
-        h = int(eta // 3600)
-        m = int((eta - 3600 * h) // 60)
-        s = int(eta - 3600 * h - 60 * m)
-        print(f'Finished: {start_idx + batch_idx + 1}/{start_idx + chunk} || '
-              f'Time: {time.time() - shape_start:0.5f} || '
-              f'ETA: {h:02d}h:{m:02d}m:{s:02d}s')
+    if pending is not None:
+        fut, *meta = pending
+        record(fut.result(), *meta)
+    if pool is not None:
+        pool.shutdown(wait=True)
 
     logline = f'{config.exp_name} Test: epoch {epoch + 1:03d} '
     denom = max(config.chunk_l, 1)

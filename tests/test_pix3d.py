@@ -101,3 +101,48 @@ def test_pix3d_occ_cached(pix3d_root):
     occ_file = os.path.join(os.path.dirname(ds.datalist[0]['query_path']),
                             'occupancies.h5')
     assert os.path.exists(occ_file)
+
+
+def test_pix3d_ensure_occupancies(pix3d_root):
+    cfg = _cfg(pix3d_root)
+    ds = Pix3D(cfg, 'train')
+    ds.ensure_occupancies()
+    for d in ds.datalist:
+        occ_file, key = ds._occ_cache(d['query_path'])
+        with h5py.File(occ_file, 'r') as f:
+            assert key in f
+    # __getitem__ must now be a pure read (no mid-epoch h5 writes)
+    mtimes = {d['query_path']: os.path.getmtime(
+        ds._occ_cache(d['query_path'])[0]) for d in ds.datalist}
+    for i in range(len(ds)):
+        _ = ds[i]
+    for d in ds.datalist:
+        assert os.path.getmtime(ds._occ_cache(d['query_path'])[0]) \
+            == mtimes[d['query_path']]
+
+
+def test_pix3d_train_and_infer_smoke(pix3d_root, tmp_path):
+    """Stage-2 LIST training + full-split inference on the Pix3D pipeline
+    (reference recipe: README.md:110; the e2e gap flagged in round 1)."""
+    from list_tpu.train.trainer import train
+    from list_tpu.infer.pipeline import test_all
+
+    cfg = default_config(
+        data_dir=pix3d_root, catlist=['chair'], vox_res=16, img_res=32,
+        sample_point_density=128, coarse_point_density=500,
+        point_feat=[128, 8, 8, 3], point_degree=[2, 2, 4],
+        im_enc_layers=[1, 1, 1, 1, 2, 4, 4, 4], sdf_scale=10.0,
+        train_batch_size=2, epochs=1, save_every_epoch=1,
+        test_every_epoch=100, test_pointnum=512, num_workers=2,
+        output_dir=str(tmp_path) + '/', exp_name='pix3d_smoke',
+        model='network.models.LIST', dataset='datasets.Datasets.Pix3D',
+        testlist_file='', chunk_l=2)
+    train(cfg)
+    assert os.path.exists(os.path.join(cfg.checkpoint_dir,
+                                       'best_model_train.ckpt'))
+    csv = test_all(cfg)
+    preds = [os.path.join(p, f)
+             for p, _, fs in os.walk(cfg.results_dir) for f in fs
+             if f.endswith('_pred.obj')]
+    assert preds, 'no predicted meshes written'
+    assert csv is None  # eval_pred off -> no CSV, but meshes exist

@@ -11,11 +11,16 @@ Prints ONE JSON line:
   {"metric": "sdf_queries_per_sec", "value": N, "unit": "queries/s",
    "vs_baseline": N / REFERENCE_BASELINE_QPS}
 
-REFERENCE_BASELINE_QPS is the reference implementation's measured throughput
-on its target GPU.  The repo records no timing numbers (BASELINE.md), so we
-use 1.0e6 queries/s — a charitable estimate for the reference's per-mesh
-path on a V100 (2.1M queries over ~2s incl. 64 host<->device crossings).
-BASELINE.json's target of >=10x therefore means vs_baseline >= 10.
+Baseline anchors (the reference repo records no timing numbers, BASELINE.md):
+- REFERENCE_BASELINE_QPS = 1.0e6 — a charitable estimate for the reference's
+  per-mesh path on its GPU (2.1M queries over ~2 s incl. 64 host<->device
+  crossings).  BASELINE.json's >=10x target means vs_baseline >= 10.
+- extras.chunked_qps_measured — the SAME reference algorithm (serial 65,536-
+  point chunks through the gather decoder) measured on THIS chip, so the
+  gather-free speedup is anchored to hardware we can actually measure
+  (round 1: ~152k q/s).
+- extras.train_step_* — training forward/backward at the reference recipe
+  (batch 8, 128^3 voxel encoder, 32,768 queries): SURVEY §3.5 hot-loop #2.
 """
 
 import json
@@ -24,11 +29,25 @@ import time
 import numpy as np
 
 REFERENCE_BASELINE_QPS = 1.0e6
+CHUNKED_ANCHOR_CHUNKS = 4  # time 4 of 32 chunks and scale (identical work)
+
+
+def _fetch(x):
+    # Axon relay: block_until_ready can return before remote execution
+    # finishes; a host fetch is the reliable fence (CLAUDE.md).
+    return np.asarray(x)
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          '/root/repo/.jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
 
     from list_tpu.config import default_config
     from list_tpu.models import LIST
@@ -40,19 +59,18 @@ def main():
 
     rng = np.random.RandomState(0)
     img = rng.rand(1, 224, 224, 3).astype(np.float32)
-    init_batch = {'rgb_image': img}
-    ex.init_state(init_batch)
+    ex.init_state({'rgb_image': img})
 
     n_queries = cfg.vox_res ** 3
+    extras = {'n_queries': n_queries, 'device': str(jax.devices()[0])}
 
-    # Warmup (compile)
+    # ---- headline: gather-free dense-grid path --------------------------
     t0 = time.time()
     grid = ex.predict_grid(img)
-    compile_time = time.time() - t0
+    extras['compile_s'] = round(time.time() - t0, 1)
     assert grid.shape == (cfg.vox_res,) * 3
     assert np.isfinite(grid).all()
 
-    # Timed runs (end-to-end per image: encode + all query chunks + host copy)
     times = []
     for _ in range(3):
         t0 = time.time()
@@ -60,18 +78,61 @@ def main():
         times.append(time.time() - t0)
     sec_per_mesh = float(np.median(times))
     qps = n_queries / sec_per_mesh
+    extras['sec_per_mesh_128'] = round(sec_per_mesh, 4)
+
+    # ---- measured anchor: reference-style chunked gather decode ---------
+    try:
+        enc = ex._encode(ex.state, jnp.asarray(img))
+        chunks = ex._get_grid_chunks()[:CHUNKED_ANCHOR_CHUNKS]
+        _fetch(ex._decode(ex.state, chunks[0], enc))  # compile
+        t0 = time.time()
+        for c in chunks:
+            _fetch(ex._decode(ex.state, c, enc))
+        dt = time.time() - t0
+        n_pts = sum(int(c.shape[1]) for c in chunks)
+        extras['chunked_qps_measured'] = round(n_pts / dt, 1)
+        extras['speedup_vs_chunked_on_chip'] = round(
+            qps / (n_pts / dt), 2)
+    except Exception as e:  # pragma: no cover - bench resilience
+        extras['chunked_qps_measured'] = f'failed: {e}'
+
+    # ---- training-step benchmark (hot loop #2) ---------------------------
+    try:
+        bcfg = default_config(sdf_scale=10.0, vox_res=128,
+                              train_batch_size=8, sample_point_density=32768,
+                              sample_distribution=[1.0])
+        bmodel = LIST.from_config(bcfg)  # --remat default applies
+        bex = LISTExecutor(bcfg, bmodel)
+        batch = {
+            'rgb_image': rng.rand(8, 224, 224, 3).astype(np.float32),
+            'points': rng.uniform(-0.5, 0.5, (8, 32768, 3)).astype(
+                np.float32),
+            'values': (rng.randn(8, 32768) * 0.05).astype(np.float32),
+            'occ': (rng.rand(8, 128, 128, 128) > 0.99).astype(np.float32),
+        }
+        bex.init_state(batch)
+        t0 = time.time()
+        _, losses = bex.train(batch)  # compile + step
+        _fetch(losses['sdf_loss'])
+        extras['train_compile_s'] = round(time.time() - t0, 1)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            _, losses = bex.train(batch)
+            _fetch(losses['sdf_loss'])
+            ts.append(time.time() - t0)
+        step_s = float(np.median(ts))
+        extras['train_step_s_b8'] = round(step_s, 3)
+        extras['train_steps_per_sec_b8'] = round(1.0 / step_s, 3)
+    except Exception as e:  # pragma: no cover - bench resilience
+        extras['train_step_s_b8'] = f'failed: {e}'
 
     print(json.dumps({
         'metric': 'sdf_queries_per_sec',
         'value': round(qps, 1),
         'unit': 'queries/s',
         'vs_baseline': round(qps / REFERENCE_BASELINE_QPS, 3),
-        'extras': {
-            'sec_per_mesh_128': round(sec_per_mesh, 4),
-            'compile_s': round(compile_time, 1),
-            'n_queries': n_queries,
-            'device': str(jax.devices()[0]),
-        },
+        'extras': extras,
     }))
 
 

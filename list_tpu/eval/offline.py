@@ -12,10 +12,11 @@ eval_<shape>_<cam>.pkl per shape.
 from __future__ import annotations
 
 import argparse
+import multiprocessing as mp
 import os
 import pickle
 from glob import glob
-from typing import Dict, List
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -34,6 +35,18 @@ def evaluate_one(pred_path: str, gt_path: str, bb_min: float, bb_max: float,
     return scores
 
 
+def _evaluate_job(job: Tuple) -> Optional[str]:
+    """mp.Pool worker (module-level for pickling); returns the pkl path or
+    None on failure."""
+    pred_path, gt_path, bb_min, bb_max, out_pkl, n_points = job
+    try:
+        evaluate_one(pred_path, gt_path, bb_min, bb_max, out_pkl, n_points)
+        return out_pkl
+    except Exception as e:  # keep going like the reference (evaluate.py:77)
+        print('eval failed for', pred_path, e)
+        return None
+
+
 def evaluate_main(argv=None) -> int:
     p = argparse.ArgumentParser(description='Batch mesh evaluation')
     p.add_argument('--gen_dir', required=True,
@@ -44,11 +57,14 @@ def evaluate_main(argv=None) -> int:
     p.add_argument('--bb_min', type=float, default=-0.5)
     p.add_argument('--bb_max', type=float, default=0.5)
     p.add_argument('--n_points', type=int, default=100000)
+    p.add_argument('--workers', type=int, default=0,
+                   help='Parallel eval processes; 0 = cpu_count '
+                        '(reference: evaluate.py:140-144 mp.Pool).')
     args = p.parse_args(argv)
     out_dir = args.out_dir or os.path.join(args.gen_dir, 'eval')
     os.makedirs(out_dir, exist_ok=True)
 
-    n = 0
+    jobs = []
     for pred_path in sorted(glob(os.path.join(args.gen_dir, '*', '*',
                                               '*_pred.obj'))):
         parts = pred_path.split(os.sep)
@@ -61,12 +77,16 @@ def evaluate_main(argv=None) -> int:
         out_pkl = os.path.join(out_dir, f'eval_{cat}_{shape}_{cam}.pkl')
         if os.path.exists(out_pkl):
             continue
-        try:
-            evaluate_one(pred_path, gt_path, args.bb_min, args.bb_max,
-                         out_pkl, args.n_points)
-            n += 1
-        except Exception as e:
-            print('eval failed for', pred_path, e)
+        jobs.append((pred_path, gt_path, args.bb_min, args.bb_max, out_pkl,
+                     args.n_points))
+
+    workers = args.workers or mp.cpu_count()
+    if workers > 1 and len(jobs) > 1:
+        with mp.Pool(workers) as pool:
+            results = list(pool.imap_unordered(_evaluate_job, jobs))
+    else:
+        results = [_evaluate_job(j) for j in jobs]
+    n = sum(1 for r in results if r)
     print(f'evaluated {n} meshes -> {out_dir}')
     return n
 

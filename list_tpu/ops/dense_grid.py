@@ -136,14 +136,41 @@ def _slab_x_plans(R: int, r_in: int, x0: int, S: int, delta: float,
     return lo, hi, L7
 
 
+def _scan_x_plans(R: int, r_in: int, S: int, delta: float,
+                  bb_min: float, bb_max: float):
+    """Shape-uniform per-slab x-plans for the lax.scan formulation.
+
+    All R//S slabs get the same source-row window width r_max (banded
+    matrices zero-padded; window starts clamped so lo + r_max <= r_in),
+    so one compiled slab program serves every slab — the compile-side
+    blow-up of unrolling 16-32 near-identical slab programs is what broke
+    192^3/256^3 at the remote-compile helper.
+
+    Returns (los (nslabs,) int32, L7s (nslabs, 7, S, r_max) float32)."""
+    assert R % S == 0, (R, S)
+    nslabs = R // S
+    raw = [_slab_x_plans(R, r_in, k * S, S, delta, bb_min, bb_max)
+           for k in range(nslabs)]
+    r_max = max(hi - lo for lo, hi, _ in raw)
+    los = np.zeros(nslabs, np.int32)
+    L7s = np.zeros((nslabs, 7, S, r_max), np.float32)
+    for k, (lo, hi, L7) in enumerate(raw):
+        lo2 = min(lo, r_in - r_max)
+        off = lo - lo2
+        los[k] = lo2
+        L7s[k, :, :, off:off + (hi - lo)] = L7
+    return los, L7s
+
+
 @functools.partial(jax.jit, static_argnames=(
     'vox_res', 'slab', 'delta', 'compute_dtype', 'bb_min', 'bb_max',
-    'fuse_scales'))
+    'fuse_scales', 'use_pallas', 'pallas_interpret'))
 def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    feat_l2: List[jnp.ndarray], trans_mat: jnp.ndarray,
                    vox_res: int, slab: int = 8, delta: float = 0.0722,
                    compute_dtype=jnp.bfloat16, bb_min: float = -0.5,
-                   bb_max: float = 0.5, fuse_scales: bool = True
+                   bb_max: float = 0.5, fuse_scales: bool = True,
+                   use_pallas: bool = False, pallas_interpret: bool = False
                    ) -> jnp.ndarray:
     """Dense (vox_res^3) SDF evaluation for batch size 1.
 
@@ -156,6 +183,10 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     fuse_scales=True: all scales' tap stacks concat into one (n, 7*sum C)
     operand and ONE fc_0 matmul per slab; False: one matmul per scale with
     accumulation (more fc0-sized HBM passes, kept for A/B timing).
+
+    use_pallas=True (--use_pallas): fc_0 + bias + ReLU + MLP tail run in the
+    fused Pallas kernel (ops/pallas/fused_fc0.py) — activations stay in
+    VMEM; fuse_scales is ignored (the kernel accumulates per scale).
     """
     R = vox_res
     channels = tuple(int(f.shape[-1]) for f in vox_feats)
@@ -163,6 +194,8 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     b1 = decoder_params['fc_0']['bias']
     n_vox_rows = sum(channels) * 7
     n_percep = feat_l2_channels(feat_l2)
+    if use_pallas:
+        fuse_scales = False
     if fuse_scales:
         w1_vox = jnp.take(w1[:n_vox_rows],
                           jnp.asarray(vox_w1_permutation(channels)),
@@ -195,17 +228,28 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
 
     vols = [f[0].astype(compute_dtype) for f in vox_feats]
 
-    out_slabs = []
-    for x0 in range(0, R, slab):
-        S = min(slab, R - x0)
-        n = S * R * R
+    # Shape-uniform per-slab plans -> ONE compiled slab program via scan.
+    assert R % slab == 0, (R, slab)
+    S = slab
+    n = S * R * R
+    plan_los, plan_L7s = [], []
+    for f in vols:
+        los, L7s = _scan_x_plans(R, f.shape[1], S, delta, bb_min, bb_max)
+        plan_los.append(jnp.asarray(los))
+        plan_L7s.append(jnp.asarray(L7s, compute_dtype))
+    x0s = jnp.arange(0, R, S, dtype=jnp.int32)
+
+    def slab_body(_, xs):
+        x0, los, L7s = xs
 
         # ---- voxel features: slab-local variants + banded tap einsum -----
         parts = []
         for si, f in enumerate(vols):
             r_in = f.shape[0]
-            lo, hi, L7 = _slab_x_plans(R, r_in, x0, S, delta, bb_min, bb_max)
-            sub = f[lo:hi]  # (r, r_in, r_in, C) contiguous x-rows
+            C = f.shape[-1]
+            r_max = L7s[si].shape[-1]
+            sub = jax.lax.dynamic_slice(
+                f, (los[si], 0, 0, 0), (r_max, r_in, r_in, C))
             dz = norm_shift(delta, r_in)
             z0 = resample_axis(sub, 2, R, 0.0, bb_min, bb_max)
             zp = resample_axis(sub, 2, R, dz, bb_min, bb_max)
@@ -220,20 +264,9 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
             # (7, r, R, R, C): per-tap source rows (x-shifted taps reuse the
             # same slab row range; L7 encodes their shifted bands).
             V7 = jnp.stack([variants[key] for (_, key) in TAPS])
-            A = jnp.einsum('tsr,tryzc->syztc',
-                           jnp.asarray(L7, compute_dtype), V7,
+            A = jnp.einsum('tsr,tryzc->syztc', L7s[si], V7,
                            preferred_element_type=jnp.float32)
-            parts.append(A.astype(compute_dtype).reshape(n, 7 * f.shape[-1]))
-
-        if fuse_scales:
-            stack = jnp.concatenate(parts, axis=-1)  # (n, 7*sum(C))
-            fc0 = jnp.dot(stack, w1_vox, preferred_element_type=jnp.float32)
-        else:
-            fc0 = None
-            for si, part in enumerate(parts):
-                p = jnp.dot(part, w1_scale[si],
-                            preferred_element_type=jnp.float32)
-                fc0 = p if fc0 is None else fc0 + p
+            parts.append(A.astype(compute_dtype).reshape(n, 7 * C))
 
         # ---- perceptual part (pre-projected 512-ch maps) -----------------
         world = grid_world_coords(R, x0, S, bb_min, bb_max)
@@ -245,7 +278,29 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         half = (ms - 1) / 2.0
         grid2d = (pc_xy - half) / half
         # keep sampling positions in f32 (bf16 loses sub-pixel precision)
-        fc0 = fc0 + grid_sample_2d(pm512, grid2d)[0].astype(jnp.float32)
+        percep = grid_sample_2d(pm512, grid2d)[0]
+
+        if use_pallas:
+            from list_tpu.ops.pallas.fused_fc0 import fused_fc0_mlp
+            sdf = fused_fc0_mlp(
+                parts, percep.astype(compute_dtype), q[0],
+                w1_scale, w1_xyz, b1,
+                decoder_params['fc_1']['kernel'], b2,
+                decoder_params['fc_2']['kernel'], b3,
+                decoder_params['fc_out']['kernel'], b4,
+                tile=min(2048, n), interpret=pallas_interpret)
+            return None, sdf.reshape(S, R, R)
+
+        if fuse_scales:
+            stack = jnp.concatenate(parts, axis=-1)  # (n, 7*sum(C))
+            fc0 = jnp.dot(stack, w1_vox, preferred_element_type=jnp.float32)
+        else:
+            fc0 = None
+            for si, part in enumerate(parts):
+                p = jnp.dot(part, w1_scale[si],
+                            preferred_element_type=jnp.float32)
+                fc0 = p if fc0 is None else fc0 + p
+        fc0 = fc0 + percep.astype(jnp.float32)
         fc0 = fc0 + q[0].astype(jnp.float32) @ w1_xyz + b1
 
         # ---- MLP tail ----------------------------------------------------
@@ -257,22 +312,26 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                                 preferred_element_type=jnp.float32) + b3)
         sdf = jnp.dot(h.astype(compute_dtype), w4.astype(compute_dtype),
                       preferred_element_type=jnp.float32) + b4
-        out_slabs.append(sdf.reshape(S, R, R))
+        return None, sdf.reshape(S, R, R)
 
-    return jnp.concatenate(out_slabs, axis=0)
+    _, slabs = jax.lax.scan(slab_body, None,
+                            (x0s, plan_los, plan_L7s))
+    return slabs.reshape(R, R, R)
 
 
 def feat_l2_channels(feat_l2) -> int:
     return sum(int(f.shape[-1]) for f in feat_l2)
 
 
-def grid_world_coords(R: int, x0: int, S: int, bb_min: float = -0.5,
+def grid_world_coords(R: int, x0, S: int, bb_min: float = -0.5,
                       bb_max: float = 0.5) -> jnp.ndarray:
     """(1, S*R*R, 3) world coordinates of dense-grid rows [x0, x0+S),
     computed in-graph (a numpy meshgrid would bake megabytes of constants
-    into the HLO — at 256^3 that overwhelms the compiler)."""
+    into the HLO — at 256^3 that overwhelms the compiler).  ``x0`` may be
+    a python int or a traced int32 scalar (lax.scan slab counter)."""
     step = (bb_max - bb_min) / (R - 1)
-    i = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 0) + float(x0)
+    x0 = jnp.asarray(x0, jnp.float32)
+    i = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 0) + x0
     j = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 1)
     k = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 2)
     world = jnp.stack([i, j, k], axis=-1) * step + bb_min

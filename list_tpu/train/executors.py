@@ -279,10 +279,15 @@ class LISTExecutor(BaseExecutor):
             # f32 fc0 scale with slab*R^2 (256^3 at slab=8 is a 2.7 GB
             # operand per slab; 4 keeps peak HBM well under budget).
             slab = 8 if self.vox_res <= 192 else 4
+            # --use_pallas: fused fc0+MLP kernel (TPU only; the Mosaic
+            # kernel has no CPU lowering — XLA fallback elsewhere).
+            use_pallas = bool(getattr(self.config, 'use_pallas', 0)) \
+                and jax.devices()[0].platform != 'cpu'
             grid = dense_grid_sdf(self.state.params['sdf_decoder'],
                                   enc['vox_feat'], enc['feat_l2'],
                                   enc['trans_mat'], self.vox_res, slab=slab,
-                                  bb_min=self.bb_min, bb_max=self.bb_max)
+                                  bb_min=self.bb_min, bb_max=self.bb_max,
+                                  use_pallas=use_pallas)
             return np.asarray(grid, np.float32) / self.sdf_scale
         qsh = query_sharding(self.mesh)
         vals = []

@@ -134,8 +134,10 @@ def _build_parser() -> ArgumentParser:
                              'at inference (1) or the reference-style chunked '
                              'gather loop (0).')
     parser.add_argument('--use_pallas', type=int, default=1,
-                        help='Use Pallas TPU kernels for the SDF decode path '
-                             'when running on TPU (1) or the XLA fallback (0).')
+                        help='Fused fc0+MLP Pallas kernel for the dense SDF '
+                             'decode on TPU (1; measured faster than the XLA '
+                             'path on v5e) or the pure-XLA path (0). '
+                             'Non-TPU backends always use XLA.')
     parser.add_argument('--remat', type=int, default=1,
                         help='Rematerialize the voxel encoder in training to '
                              'trade FLOPs for HBM.')

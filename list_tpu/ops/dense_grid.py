@@ -34,7 +34,7 @@ tests/test_dense_grid.py, including non-default bounding boxes.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -164,14 +164,16 @@ def _scan_x_plans(R: int, r_in: int, S: int, delta: float,
 
 @functools.partial(jax.jit, static_argnames=(
     'vox_res', 'slab', 'delta', 'compute_dtype', 'bb_min', 'bb_max',
-    'fuse_scales', 'use_pallas', 'pallas_interpret'))
+    'fuse_scales', 'use_pallas', 'pallas_interpret', 'scan_unroll',
+    'mesh', 'shard_axis'))
 def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    feat_l2: List[jnp.ndarray], trans_mat: jnp.ndarray,
                    vox_res: int, slab: int = 8, delta: float = 0.0722,
                    compute_dtype=jnp.bfloat16, bb_min: float = -0.5,
                    bb_max: float = 0.5, fuse_scales: bool = True,
-                   use_pallas: bool = False, pallas_interpret: bool = False
-                   ) -> jnp.ndarray:
+                   use_pallas: bool = False, pallas_interpret: bool = False,
+                   scan_unroll: int = 1, mesh=None,
+                   shard_axis: Optional[str] = None) -> jnp.ndarray:
     """Dense (vox_res^3) SDF evaluation for batch size 1.
 
     decoder_params: the VoxelDecoder2 param subtree {fc_0, fc_1, fc_2,
@@ -187,6 +189,11 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     use_pallas=True (--use_pallas): fc_0 + bias + ReLU + MLP tail run in the
     fused Pallas kernel (ops/pallas/fused_fc0.py) — activations stay in
     VMEM; fuse_scales is ignored (the kernel accumulates per scale).
+
+    mesh + shard_axis: shard the x-slab scan across a mesh axis via
+    shard_map — features/weights replicated, each device evaluates its
+    contiguous block of x-slabs, no collectives (the queries are
+    embarrassingly parallel; SURVEY §2.7 query-chunk parallelism at scale).
     """
     R = vox_res
     channels = tuple(int(f.shape[-1]) for f in vox_feats)
@@ -239,17 +246,31 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         plan_L7s.append(jnp.asarray(L7s, compute_dtype))
     x0s = jnp.arange(0, R, S, dtype=jnp.int32)
 
-    def slab_body(_, xs):
+    consts = {
+        'vols': vols, 'pm512': pm512, 'trans_mat': trans_mat,
+        'w1_xyz': w1_xyz, 'b1': b1, 'w2': w2, 'b2': b2, 'w3': w3, 'b3': b3,
+        'w4': w4, 'b4': b4,
+    }
+    if fuse_scales:
+        consts['w1_vox'] = w1_vox
+    else:
+        consts['w1_scale'] = w1_scale
+
+    def slab_body(xs, C):
         x0, los, L7s = xs
+        vols_, pm512_, trans_mat_ = C['vols'], C['pm512'], C['trans_mat']
+        w1_xyz_, b1_ = C['w1_xyz'], C['b1']
+        w2_, b2_, w3_, b3_, w4_, b4_ = (C['w2'], C['b2'], C['w3'], C['b3'],
+                                        C['w4'], C['b4'])
 
         # ---- voxel features: slab-local variants + banded tap einsum -----
         parts = []
-        for si, f in enumerate(vols):
+        for si, f in enumerate(vols_):
             r_in = f.shape[0]
-            C = f.shape[-1]
+            ch = f.shape[-1]
             r_max = L7s[si].shape[-1]
             sub = jax.lax.dynamic_slice(
-                f, (los[si], 0, 0, 0), (r_max, r_in, r_in, C))
+                f, (los[si], 0, 0, 0), (r_max, r_in, r_in, ch))
             dz = norm_shift(delta, r_in)
             z0 = resample_axis(sub, 2, R, 0.0, bb_min, bb_max)
             zp = resample_axis(sub, 2, R, dz, bb_min, bb_max)
@@ -266,56 +287,74 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
             V7 = jnp.stack([variants[key] for (_, key) in TAPS])
             A = jnp.einsum('tsr,tryzc->syztc', L7s[si], V7,
                            preferred_element_type=jnp.float32)
-            parts.append(A.astype(compute_dtype).reshape(n, 7 * C))
+            parts.append(A.astype(compute_dtype).reshape(n, 7 * ch))
 
         # ---- perceptual part (pre-projected 512-ch maps) -----------------
         world = grid_world_coords(R, x0, S, bb_min, bb_max)
         q = world[..., ::-1] * 2.0  # (2z, 2y, 2x)
         homo = jnp.concatenate([q, jnp.ones((1, n, 1), q.dtype)], -1)
-        pc_xyz = jnp.einsum('bnk,bkj->bnj', homo, trans_mat)
+        pc_xyz = jnp.einsum('bnk,bkj->bnj', homo, trans_mat_)
         pc_xy = pc_xyz[..., :2] / (pc_xyz[..., 2:] + 1e-8)
         pc_xy = jnp.clip(pc_xy, 0.0, float(ms - 1))
         half = (ms - 1) / 2.0
         grid2d = (pc_xy - half) / half
         # keep sampling positions in f32 (bf16 loses sub-pixel precision)
-        percep = grid_sample_2d(pm512, grid2d)[0]
+        percep = grid_sample_2d(pm512_, grid2d)[0]
 
         if use_pallas:
             from list_tpu.ops.pallas.fused_fc0 import fused_fc0_mlp
             sdf = fused_fc0_mlp(
                 parts, percep.astype(compute_dtype), q[0],
-                w1_scale, w1_xyz, b1,
-                decoder_params['fc_1']['kernel'], b2,
-                decoder_params['fc_2']['kernel'], b3,
-                decoder_params['fc_out']['kernel'], b4,
-                tile=min(2048, n), interpret=pallas_interpret)
-            return None, sdf.reshape(S, R, R)
+                C['w1_scale'], w1_xyz_, b1_,
+                w2_, b2_, w3_, b3_, w4_, b4_,
+                tile=min(512, n), interpret=pallas_interpret)
+            return sdf.reshape(S, R, R)
 
         if fuse_scales:
             stack = jnp.concatenate(parts, axis=-1)  # (n, 7*sum(C))
-            fc0 = jnp.dot(stack, w1_vox, preferred_element_type=jnp.float32)
+            fc0 = jnp.dot(stack, C['w1_vox'],
+                          preferred_element_type=jnp.float32)
         else:
             fc0 = None
             for si, part in enumerate(parts):
-                p = jnp.dot(part, w1_scale[si],
+                p = jnp.dot(part, C['w1_scale'][si],
                             preferred_element_type=jnp.float32)
                 fc0 = p if fc0 is None else fc0 + p
         fc0 = fc0 + percep.astype(jnp.float32)
-        fc0 = fc0 + q[0].astype(jnp.float32) @ w1_xyz + b1
+        fc0 = fc0 + q[0].astype(jnp.float32) @ w1_xyz_ + b1_
 
         # ---- MLP tail ----------------------------------------------------
         h = jax.nn.relu(fc0).astype(compute_dtype)
-        h = jax.nn.relu(jnp.dot(h, w2.astype(compute_dtype),
-                                preferred_element_type=jnp.float32) + b2)
+        h = jax.nn.relu(jnp.dot(h, w2_.astype(compute_dtype),
+                                preferred_element_type=jnp.float32) + b2_)
         h = h.astype(compute_dtype)
-        h = jax.nn.relu(jnp.dot(h, w3.astype(compute_dtype),
-                                preferred_element_type=jnp.float32) + b3)
-        sdf = jnp.dot(h.astype(compute_dtype), w4.astype(compute_dtype),
-                      preferred_element_type=jnp.float32) + b4
-        return None, sdf.reshape(S, R, R)
+        h = jax.nn.relu(jnp.dot(h, w3_.astype(compute_dtype),
+                                preferred_element_type=jnp.float32) + b3_)
+        sdf = jnp.dot(h.astype(compute_dtype), w4_.astype(compute_dtype),
+                      preferred_element_type=jnp.float32) + b4_
+        return sdf.reshape(S, R, R)
 
-    _, slabs = jax.lax.scan(slab_body, None,
-                            (x0s, plan_los, plan_L7s))
+    xss = (x0s, plan_los, plan_L7s)
+
+    def scan_slabs(xss_, C):
+        _, slabs = jax.lax.scan(lambda carry, xs: (None, slab_body(xs, C)),
+                                None, xss_, unroll=scan_unroll)
+        return slabs
+
+    if mesh is not None and shard_axis is not None \
+            and mesh.shape[shard_axis] > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        nsh = mesh.shape[shard_axis]
+        assert (R // S) % nsh == 0, (R, S, nsh)
+        slabs = shard_map(
+            scan_slabs, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(shard_axis), xss),
+                      jax.tree.map(lambda _: P(), consts)),
+            out_specs=P(shard_axis),
+            check_rep=False)(xss, consts)
+    else:
+        slabs = scan_slabs(xss, consts)
     return slabs.reshape(R, R, R)
 
 

@@ -75,10 +75,15 @@ def fused_fc0_mlp(stacks: Sequence[jnp.ndarray], percep: jnp.ndarray,
                   w2: jnp.ndarray, b2: jnp.ndarray,
                   w3: jnp.ndarray, b3: jnp.ndarray,
                   w4: jnp.ndarray, b4: jnp.ndarray,
-                  tile: int = 2048, interpret: bool = False) -> jnp.ndarray:
+                  tile: int = 512, interpret: bool = False) -> jnp.ndarray:
     """stacks: per-scale (n, 7*C_s) bf16; percep: (n, 512) pre-projected
     fc_0 contribution; qxyz: (n, 3) normalized coords.  Weights in flax
-    Dense layout.  Returns (n,) f32 raw SDF."""
+    Dense layout.  Returns (n,) f32 raw SDF.
+
+    VMEM budget at tile=512 (v5e has ~16 MB/core): double-buffered input
+    blocks 2*(512*2583 + 512*512 + 512*8)*2B ~= 6.4 MB, weights ~3.1 MB
+    resident, f32 accumulator 1 MB, padded out 0.5 MB — tile=2048 blows
+    the budget (~30 MB) and crashes the AOT compile helper."""
     n = stacks[0].shape[0]
     assert n % tile == 0, (n, tile)
     n_scales = len(stacks)

@@ -283,11 +283,21 @@ class LISTExecutor(BaseExecutor):
             # kernel has no CPU lowering — XLA fallback elsewhere).
             use_pallas = bool(getattr(self.config, 'use_pallas', 0)) \
                 and jax.devices()[0].platform != 'cpu'
+            # Multi-device mesh: shard the x-slab scan over the query axis
+            # (features replicated, no collectives — SURVEY §2.7).
+            from list_tpu.parallel import DATA_AXIS, QUERY_AXIS
+            mesh_kw = {}
+            for ax in (QUERY_AXIS, DATA_AXIS):
+                if ax in self.mesh.axis_names and self.mesh.shape[ax] > 1 \
+                        and (self.vox_res // slab) % self.mesh.shape[ax] == 0:
+                    mesh_kw = {'mesh': self.mesh, 'shard_axis': ax}
+                    break
             grid = dense_grid_sdf(self.state.params['sdf_decoder'],
                                   enc['vox_feat'], enc['feat_l2'],
                                   enc['trans_mat'], self.vox_res, slab=slab,
                                   bb_min=self.bb_min, bb_max=self.bb_max,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas, scan_unroll=2,
+                                  **mesh_kw)
             return np.asarray(grid, np.float32) / self.sdf_scale
         qsh = query_sharding(self.mesh)
         vals = []

@@ -86,3 +86,32 @@ def test_graft_entry_compiles():
     # trace-level check only (full 128^3 compile is the driver's job)
     out_shape = jax.eval_shape(fn, *args)
     assert out_shape.shape == (1, 4096)
+
+
+def test_dense_grid_sharded_matches_single():
+    """Query-axis sharding of the dense-grid decode (shard_map over x-slabs,
+    SURVEY §2.7 'query-chunk parallelism at scale') is bit-equal to the
+    single-device scan."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from list_tpu.models import LIST
+    from list_tpu.ops.dense_grid import dense_grid_sdf
+    from list_tpu.parallel import make_mesh, QUERY_AXIS
+
+    R = 16
+    model = LIST(vox_res=R, point_feat=(128, 8, 8, 3),
+                 point_degree=(2, 2, 4),
+                 im_enc_layers=(1, 1, 1, 1, 2, 4, 4, 4), h_dim=8, support=2)
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3),
+                      jnp.float32)
+    v = model.init(jax.random.PRNGKey(1), img, jnp.zeros((1, 8, 3)))
+    enc = model.apply(v, img, method=model.encode)
+    args = (v['params']['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
+            enc['trans_mat'], R)
+    a = np.asarray(dense_grid_sdf(*args, slab=4,
+                                  compute_dtype=jnp.float32))
+    mesh = make_mesh((2, 2))
+    b = np.asarray(dense_grid_sdf(*args, slab=4, compute_dtype=jnp.float32,
+                                  mesh=mesh, shard_axis=QUERY_AXIS))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)

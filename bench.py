@@ -80,6 +80,25 @@ def main():
     qps = n_queries / sec_per_mesh
     extras['sec_per_mesh_128'] = round(sec_per_mesh, 4)
 
+    # ---- 256^3 dense inference (BASELINE.json config #3) -----------------
+    try:
+        from list_tpu.ops.dense_grid import dense_grid_sdf
+        enc = ex._encode(ex.state, jnp.asarray(img))
+        kw = dict(slab=4, scan_unroll=2,
+                  use_pallas=jax.devices()[0].platform != 'cpu')
+        _fetch(dense_grid_sdf(ex.state.params['sdf_decoder'],
+                              enc['vox_feat'], enc['feat_l2'],
+                              enc['trans_mat'], 256, **kw))
+        t0 = time.time()
+        g256 = _fetch(dense_grid_sdf(ex.state.params['sdf_decoder'],
+                                     enc['vox_feat'], enc['feat_l2'],
+                                     enc['trans_mat'], 256, **kw))
+        assert np.isfinite(g256).all()
+        extras['sec_per_mesh_256'] = round(time.time() - t0, 3)
+        del g256
+    except Exception as e:  # pragma: no cover - bench resilience
+        extras['sec_per_mesh_256'] = f'failed: {e}'
+
     # ---- measured anchor: reference-style chunked gather decode ---------
     try:
         enc = ex._encode(ex.state, jnp.asarray(img))

@@ -141,6 +141,11 @@ def _build_parser() -> ArgumentParser:
     parser.add_argument('--remat', type=int, default=1,
                         help='Rematerialize the voxel encoder in training to '
                              'trade FLOPs for HBM.')
+    parser.add_argument('--train_query_chunks', type=int, default=4,
+                        help='Split the training query axis into this many '
+                             'rematerialized chunks (numerically exact; the '
+                             'full 3610-d first-layer activation at batch 8 '
+                             'x 32441 queries OOMs a 16 GB chip). 1 disables.')
     parser.add_argument('--resnet_ckpt', type=str, default='',
                         help='torchvision ResNet18 state_dict (.pt/.pth/.npz)'
                              ' to initialize im_encoder/im_encoder2 from '

@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from list_tpu.models.init import make_torch_bias, torch_linear_kernel
 from list_tpu.models.percep import PerceptualPooling
@@ -92,6 +93,12 @@ class LIST(nn.Module):
     # residents of the train step; recomputing them trades ~5% step FLOPs
     # for several GB of live activation memory.
     remat: bool = False
+    # Split the training query axis into this many rematerialized chunks:
+    # the reference holds the full (B, 3610, N) first-layer activation live
+    # (modules.py:276); at batch 8 x 32,441 queries that is ~3.8 GB f32 and
+    # OOMs a 16 GB v5e with the rest of the step.  Chunking is numerically
+    # exact (no cross-query ops in percep/decoder).  1 disables.
+    train_query_chunks: int = 4
 
     @classmethod
     def from_config(cls, config) -> 'LIST':
@@ -99,7 +106,9 @@ class LIST(nn.Module):
                    bb_max=config.bb_max, point_feat=tuple(config.point_feat),
                    point_degree=tuple(config.point_degree),
                    im_enc_layers=tuple(config.im_enc_layers),
-                   remat=bool(getattr(config, 'remat', 0)))
+                   remat=bool(getattr(config, 'remat', 0)),
+                   train_query_chunks=int(
+                       getattr(config, 'train_query_chunks', 4)))
 
     def setup(self):
         # --remat: recompute voxel-encoder activations in backward instead
@@ -152,6 +161,21 @@ class LIST(nn.Module):
         """Returns (occ_pred (B,R,R,R), sdf (B,N)) like the reference forward
         (models.py:73-100, which returns vox_feat[0] and sdf)."""
         enc = self.encode(img, train, trans_mat)
-        sdf = self.decode_sdf(query, enc)
+        k = self.train_query_chunks
+        if train and k > 1 and query.shape[1] > k:
+            # Pre-resize the pyramid once so rematerialized chunks skip the
+            # 137^2 interpolation matmuls on recompute.
+            from list_tpu.ops.sampling import resize_bilinear_align_corners
+            ms = self.percep_pooling.map_size
+            enc = dict(enc)
+            enc['feat_l2'] = [resize_bilinear_align_corners(f, ms, ms)
+                              for f in enc['feat_l2']]
+            dec = nn.remat(LIST.decode_sdf) if self.remat else LIST.decode_sdf
+            bounds = np.linspace(0, query.shape[1], k + 1).astype(int)
+            sdf = jnp.concatenate(
+                [dec(self, query[:, b0:b1], enc)
+                 for b0, b1 in zip(bounds[:-1], bounds[1:])], axis=1)
+        else:
+            sdf = self.decode_sdf(query, enc)
         occ_pred = enc['vox_feat'][0][..., 0]
         return occ_pred, sdf

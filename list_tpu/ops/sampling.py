@@ -159,6 +159,11 @@ def resize_bilinear_align_corners(image: jnp.ndarray, out_h: int, out_w: int) ->
     a gather.
     """
     B, H, W, C = image.shape
+    if H == out_h and W == out_w:
+        # The interpolation matrix is exactly the identity here; skip the
+        # matmuls (lets callers pre-resize maps once and re-call cheaply,
+        # e.g. the chunked training decode).
+        return image
     dt = np.dtype(image.dtype).name if image.dtype != jnp.bfloat16 else 'float32'
     mh = jnp.asarray(_resize_matrix(H, out_h, dt), dtype=image.dtype)
     mw = jnp.asarray(_resize_matrix(W, out_w, dt), dtype=image.dtype)

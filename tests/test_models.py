@@ -176,3 +176,45 @@ def test_list_remat_grad_parity():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
     diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
     assert max(jax.tree.leaves(diffs)) < 1e-4
+
+
+def test_list_chunked_training_decode_parity():
+    """train_query_chunks splits the training query axis into remat'd
+    chunks: forward must be bit-exact; grads agree to fp-reorder noise
+    (the percep scatter-add adjoint sums in a different order)."""
+    import jax
+    import jax.numpy as jnp
+    from list_tpu.models import LIST
+
+    def build(k, remat):
+        m = LIST(vox_res=8, point_feat=(128, 8, 8, 3),
+                 point_degree=(2, 2, 4),
+                 im_enc_layers=(1, 1, 1, 1, 2, 4, 4, 4), h_dim=8, support=2,
+                 im_filters=(8, 8, 8, 8, 8), remat=remat,
+                 train_query_chunks=k)
+        img = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3),
+                          jnp.float32)
+        # 31 queries: not divisible by 4 -> exercises uneven chunking
+        q = jnp.asarray(
+            np.random.RandomState(1).uniform(-0.5, 0.5, (2, 31, 3)),
+            jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), img, q)
+
+        def loss(p):
+            (occ, sdf), _ = m.apply(
+                {'params': p, 'batch_stats': v['batch_stats']},
+                img, q, None, True, mutable=['batch_stats'])
+            return jnp.sum(sdf ** 2) + jnp.sum(occ ** 2)
+
+        l, g = jax.value_and_grad(loss)(v['params'])
+        return l, g
+
+    l0, g0 = build(1, False)
+    l1, g1 = build(4, True)
+    assert float(l0) == float(l1)  # forward bit-exact
+    paths0, _ = jax.tree_util.tree_flatten_with_path(g0)
+    paths1, _ = jax.tree_util.tree_flatten_with_path(g1)
+    for (k, a), (_, b) in zip(paths0, paths1):
+        d = float(jnp.max(jnp.abs(a - b)))
+        m = float(jnp.max(jnp.abs(a)))
+        assert d <= 1e-3 * max(m, 1.0), (jax.tree_util.keystr(k), d, m)

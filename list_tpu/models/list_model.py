@@ -112,10 +112,13 @@ class LIST(nn.Module):
 
     def setup(self):
         # --remat: recompute voxel-encoder activations in backward instead
-        # of keeping them live (train=... stays a static python bool).
-        vox_cls = (nn.remat(VoxelEncoder2, static_argnums=(2,))
+        # of keeping them live (train/packed stay static python bools).
+        vox_cls = (nn.remat(VoxelEncoder2, static_argnums=(2, 3))
                    if self.remat else VoxelEncoder2)
-        self.vox_encoder = vox_cls(layers=tuple(self.im_enc_layers))
+        # cmajor: the full-resolution conv stage runs channel-major so its
+        # activations aren't lane-padded 8-128x by XLA (stencil3d.py).
+        self.vox_encoder = vox_cls(layers=tuple(self.im_enc_layers),
+                                   cmajor=True)
         self.sdf_decoder = VoxelDecoder2(h_dim=self.h_dim)
         self.percep_pooling = PerceptualPooling()
         enc_kw = ({} if self.im_filters is None
@@ -145,15 +148,44 @@ class LIST(nn.Module):
 
         occ = voxelize(pc, self.bb_min, self.bb_max, self.vox_res,
                        dtype=img.dtype)
-        vox_feat = self.vox_encoder(occ, train)
-        return {'pc': pc, 'trans_mat': trans_mat, 'occ_in': occ,
-                'vox_feat': vox_feat, 'feat_l2': feat_l2}
+        enc = {'pc': pc, 'trans_mat': trans_mat, 'occ_in': occ,
+               'feat_l2': feat_l2}
+        if train:
+            # Fold-packed features: lane-dense gather operands for the
+            # training sampler (a channels-last (B, R^3, C<=64) operand
+            # would be lane-padded to 128 by XLA — 8.6 GB at batch 8).
+            vox_feat, _ = self.vox_encoder(occ, train, True)
+            enc['vox_feat'] = vox_feat
+            R = self.vox_res
+            enc['occ_pred'] = vox_feat[0].reshape(-1, R, R, R)
+        else:
+            vox_feat = self.vox_encoder(occ, train, False)
+            enc['vox_feat'] = vox_feat
+            enc['occ_pred'] = vox_feat[0][..., 0]
+        return enc
+
+    def _vox_metas(self):
+        """Static fold-pack metadata per feature scale (mirrors the
+        VoxelEncoder2 feature structure: l==2 at R, then one per l>=3 with
+        the resolution halving after each)."""
+        from list_tpu.ops.sampling import pack_meta
+        L = list(self.im_enc_layers)
+        R = self.vox_res
+        metas = [(R, R, R, L[3], pack_meta((R, R, R, L[3])))]
+        res = R
+        for l in range(3, len(L) - 1):
+            metas.append((res, res, res, L[l + 1],
+                          pack_meta((res, res, res, L[l + 1]))))
+            res //= 2
+        return tuple(metas)
 
     def decode_sdf(self, query: jnp.ndarray, enc: Dict[str, Any]) -> jnp.ndarray:
         """query: (B, N, 3) world coords in [bb_min, bb_max] -> (B, N) sdf."""
         q = reorder_and_scale_query(query)
         percep = self.percep_pooling(enc['feat_l2'], q, enc['trans_mat'])
-        return self.sdf_decoder(q, enc['vox_feat'], percep)
+        # rank 3 == fold-packed training features; rank 5 == channels-last
+        meta = self._vox_metas() if enc['vox_feat'][0].ndim == 3 else None
+        return self.sdf_decoder(q, enc['vox_feat'], percep, vox_meta=meta)
 
     def __call__(self, img: jnp.ndarray, query: jnp.ndarray,
                  trans_mat: Optional[jnp.ndarray] = None,
@@ -177,5 +209,4 @@ class LIST(nn.Module):
                  for b0, b1 in zip(bounds[:-1], bounds[1:])], axis=1)
         else:
             sdf = self.decode_sdf(query, enc)
-        occ_pred = enc['vox_feat'][0][..., 0]
-        return occ_pred, sdf
+        return enc['occ_pred'], sdf

@@ -27,40 +27,108 @@ from list_tpu.models.init import make_torch_bias, torch_linear_kernel
 from list_tpu.ops.sampling import grid_sample_3d
 
 
-def _bn(train: bool, name: str):
+def _bn(train: bool, name: str, axis: int = -1):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, name=name)
+                        epsilon=1e-5, name=name, axis=axis)
 
 
-def _conv3d(features: int, in_ch: int, name: str):
-    return nn.Conv(features, (3, 3, 3), padding=1,
-                   kernel_init=torch_linear_kernel,
-                   bias_init=make_torch_bias(in_ch * 27), name=name)
+class _Conv3(nn.Module):
+    """3x3x3 SAME conv, param-compatible with nn.Conv (params: kernel
+    (3,3,3,I,O) + bias (O,)), with two layouts:
+
+    - channels-last (B, D, H, W, C): plain lax conv (what nn.Conv does).
+    - channel-major (B, C, D, H, W): the Pallas stencil kernel (TPU) or the
+      shift-and-add XLA formulation (CPU) — see ops/pallas/stencil3d.py for
+      why (XLA pads NDHWC conv buffers 8-128x at 1-16 channels; measured
+      41 GB for the batch-8 train step).
+    """
+    features: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cmajor: bool = False) -> jnp.ndarray:
+        kernel = self.param('kernel', torch_linear_kernel,
+                            (3, 3, 3, self.in_ch, self.features))
+        bias = self.param('bias', make_torch_bias(self.in_ch * 27),
+                          (self.features,))
+        if cmajor:
+            import jax
+            from list_tpu.ops.pallas.stencil3d import (conv3x3x3_cmajor,
+                                                       conv3x3x3_cmajor_xla)
+            if jax.devices()[0].platform == 'cpu':
+                y = conv3x3x3_cmajor_xla(x, kernel)
+            else:
+                y = conv3x3x3_cmajor(x, kernel)
+            return y + bias[None, :, None, None, None]
+        import jax
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+        return y + bias
+
+
+def _maxpool2_cmajor(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2x2 max pool on (B, C, D, H, W)."""
+    B, C, D, H, W = x.shape
+    x = x.reshape(B, C, D // 2, 2, H // 2, 2, W // 2, 2)
+    return x.max(axis=(3, 5, 7))
 
 
 class VoxelEncoder2(nn.Module):
+    """Multi-scale 3D CNN (reference: network/modules.py:401-442).
+
+    cmajor=True runs the full-resolution stage (spatial W == 128) in
+    channel-major layout and hands back to channels-last after the first
+    maxpool; numerics are identical (tests/test_models.py).
+    """
     layers: Sequence[int] = (1, 1, 1, 1, 16, 32, 64, 128, 128)
+    cmajor: bool = False
 
     @nn.compact
-    def __call__(self, occ: jnp.ndarray, train: bool = False
-                 ) -> List[jnp.ndarray]:
-        # occ: (B, R, R, R) -> features list, channels last.
-        net = occ[..., None]
+    def __call__(self, occ: jnp.ndarray, train: bool = False,
+                 packed: bool = False):
+        # occ: (B, R, R, R) -> features list (channels-last), or with
+        # packed=True -> (packed features, metas) in the lane-dense fold
+        # layout of ops.sampling.pack_channels_last (training path).
+        from list_tpu.ops.sampling import pack_channels_last, pack_cmajor
+
+        cm = bool(self.cmajor) and occ.shape[-1] == 128
+        net = occ[:, None] if cm else occ[..., None]
         features = []
+        metas = []
+
+        def collect(f, is_cm):
+            if packed:
+                p, meta = pack_cmajor(f) if is_cm else pack_channels_last(f)
+                features.append(p)
+                metas.append(meta)
+            else:
+                features.append(jnp.moveaxis(f, 1, -1) if is_cm else f)
+
         L = list(self.layers)
         for l in range(len(L) - 1):
+            conv = _Conv3(L[l + 1], L[l], name=f'conv_{l}')
             if l < 2:
-                net = nn.relu(_conv3d(L[l + 1], L[l], f'conv_{l}')(net))
-                net = _bn(train, f'bn_{l}')(net)
+                net = nn.relu(conv(net, cm))
+                net = _bn(train, f'bn_{l}', axis=1 if cm else -1)(net)
             elif l == 2:
-                net = nn.sigmoid(_conv3d(L[l + 1], L[l], f'conv_{l}')(net))
-                features.append(net)
+                net = nn.sigmoid(conv(net, cm))
+                collect(net, cm)
             else:
-                net = nn.relu(_conv3d(L[l + 1], L[l], f'conv_{l}')(net))
-                net = nn.relu(_conv3d(L[l + 1], L[l + 1], f'conv_{l}_0')(net))
-                net = _bn(train, f'bn_{l}')(net)
-                features.append(net)
-                net = nn.max_pool(net, (2, 2, 2), strides=(2, 2, 2))
+                net = nn.relu(conv(net, cm))
+                net = nn.relu(_Conv3(L[l + 1], L[l + 1],
+                                     name=f'conv_{l}_0')(net, cm))
+                net = _bn(train, f'bn_{l}', axis=1 if cm else -1)(net)
+                collect(net, cm)
+                if cm:
+                    net = _maxpool2_cmajor(net)
+                    # hand back to channels-last below full resolution
+                    net = jnp.moveaxis(net, 1, -1)
+                    cm = False
+                else:
+                    net = nn.max_pool(net, (2, 2, 2), strides=(2, 2, 2))
+        if packed:
+            return features, metas
         return features
 
 
@@ -104,9 +172,14 @@ class VoxelDecoder2(nn.Module):
 
     @nn.compact
     def __call__(self, p: jnp.ndarray, feat: Sequence[jnp.ndarray],
-                 percep_feat: jnp.ndarray) -> jnp.ndarray:
-        # p: (B, N, 3); percep_feat: (B, N, 1024)
-        vox = sample_multiscale(feat, p, self.delta)
+                 percep_feat: jnp.ndarray, vox_meta=None) -> jnp.ndarray:
+        # p: (B, N, 3); percep_feat: (B, N, 1024).  vox_meta: fold-pack
+        # metadata when ``feat`` is in the lane-dense training layout.
+        if vox_meta is not None:
+            from list_tpu.ops.sampling import sample_multiscale_packed
+            vox = sample_multiscale_packed(feat, vox_meta, p, self.delta)
+        else:
+            vox = sample_multiscale(feat, p, self.delta)
         x = jnp.concatenate([vox, percep_feat, p], axis=-1)
         dims = [self.h_dim * 2, self.h_dim, self.h_dim]
         names = ['fc_0', 'fc_1', 'fc_2']

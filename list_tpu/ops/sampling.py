@@ -173,3 +173,90 @@ def resize_bilinear_align_corners(image: jnp.ndarray, out_h: int, out_w: int) ->
                      precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum('pw,bowc->bopc', mw, out,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+# ---- fold-packed multiscale sampling (training path) -----------------------
+#
+# A channels-last (B, D*H*W, C) gather operand with C in {1..64} gets its
+# lane dim padded to 128 by XLA-TPU (a (8, 128^3, 16) f32 buffer -> 8.6 GB).
+# Packing g = 128/C consecutive W-points into the lane dim keeps the operand
+# dense: (B, D*H*W/g, g*C).  A gathered row holds g candidate points; the
+# right one is selected with a tiny one-hot einsum.
+
+def pack_meta(shape_dhwc):
+    """(D, H, W, C) -> fold factor g (largest power of two <= 128/C that
+    divides W)."""
+    D, H, W, C = shape_dhwc
+    g = 1
+    while g * 2 * C <= 128 and W % (g * 2) == 0:
+        g *= 2
+    return g
+
+
+def pack_channels_last(f: jnp.ndarray):
+    """(B, D, H, W, C) -> ((B, D*H*W/g, g*C), (D, H, W, C, g)).  Pure
+    reshape (W-major groups are contiguous)."""
+    B, D, H, W, C = f.shape
+    g = pack_meta((D, H, W, C))
+    return f.reshape(B, D * H * W // g, g * C), (D, H, W, C, g)
+
+
+def pack_cmajor(f: jnp.ndarray):
+    """(B, C, D, H, W) -> same packed form (one transpose whose output is
+    lane-dense)."""
+    B, C, D, H, W = f.shape
+    g = pack_meta((D, H, W, C))
+    if C == 1:
+        return f.reshape(B, D * H * W // g, g), (D, H, W, C, g)
+    ft = jnp.transpose(f, (0, 2, 3, 4, 1))  # fused into the reshape copy
+    return ft.reshape(B, D * H * W // g, g * C), (D, H, W, C, g)
+
+
+def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Trilinear border/align-corners sample of one packed scale.
+    packed: (B, M, g*C); pd: (B, Np, 3) normalized coords -> (B, Np, C)."""
+    D, H, W, C, g = meta
+    B, Np, _ = pd.shape
+    x = _unnormalize(pd[..., 0], W, True)
+    y = _unnormalize(pd[..., 1], H, True)
+    z = _unnormalize(pd[..., 2], D, True)
+    x0, x1, wx, _, _ = _corner_weights(x, W, 'border')
+    y0, y1, wy, _, _ = _corner_weights(y, H, 'border')
+    z0, z1, wz, _, _ = _corner_weights(z, D, 'border')
+
+    def corner(zi, yi, xi):
+        flat = (zi * H + yi) * W + xi
+        rows = jnp.take_along_axis(packed, (flat // g)[..., None], axis=1)
+        rows = rows.reshape(B, Np, g, C)
+        oh = jax.nn.one_hot(flat % g, g, dtype=rows.dtype)
+        return jnp.einsum('bng,bngc->bnc', oh, rows)
+
+    wx = wx[..., None]
+    wy = wy[..., None]
+    wz = wz[..., None]
+
+    def plane(zi):
+        top = corner(zi, y0, x0) * (1 - wx) + corner(zi, y0, x1) * wx
+        bot = corner(zi, y1, x0) * (1 - wx) + corner(zi, y1, x1) * wx
+        return top * (1 - wy) + bot * wy
+
+    return plane(z0) * (1 - wz) + plane(z1) * wz
+
+
+def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
+                             delta: float = 0.0722) -> jnp.ndarray:
+    """Packed equivalent of models.voxel.sample_multiscale: same 7
+    displacement taps, same (c*7+d) channel ordering, same numerics."""
+    from list_tpu.models.voxel import make_displacements
+
+    B, N, _ = p.shape
+    disp = jnp.asarray(make_displacements(delta), p.dtype)  # (7, 3)
+    pd = (p[:, None, :, :] + disp[None, :, None, :]).reshape(B, 7 * N, 3)
+    outs = []
+    for packed, meta in zip(packed_feats, metas):
+        s = _sample_packed_one(packed, meta, pd)  # (B, 7N, C)
+        s = s.reshape(B, 7, N, meta[3])
+        outs.append(jnp.transpose(s, (0, 2, 3, 1)))  # (B, N, C, 7)
+    out = jnp.concatenate(outs, axis=2)
+    return out.reshape(B, N, -1)

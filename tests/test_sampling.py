@@ -81,3 +81,24 @@ def test_resize_bilinear_align_corners(rng):
         ref = ref.permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, ref, atol=2e-4,
                                    err_msg=f'resize {size}->137')
+
+
+def test_packed_sampler_matches_general(rng):
+    """Fold-packed multiscale sampling (training path) must equal
+    sample_multiscale exactly (same gathers, one-hot select)."""
+    import jax.numpy as jnp
+    from list_tpu.models.voxel import sample_multiscale
+    from list_tpu.ops.sampling import (pack_channels_last,
+                                       sample_multiscale_packed)
+
+    feats, packed, metas = [], [], []
+    for res, c in ((8, 1), (8, 2), (4, 4), (2, 8)):
+        f = jnp.asarray(rng.randn(2, res, res, res, c).astype(np.float32))
+        feats.append(f)
+        p_, m_ = pack_channels_last(f)
+        packed.append(p_)
+        metas.append(m_)
+    p = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 33, 3)).astype(np.float32))
+    ref = np.asarray(sample_multiscale(feats, p))
+    got = np.asarray(sample_multiscale_packed(packed, metas, p))
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)

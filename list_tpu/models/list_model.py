@@ -157,7 +157,8 @@ class LIST(nn.Module):
             vox_feat, _ = self.vox_encoder(occ, train, True)
             enc['vox_feat'] = vox_feat
             R = self.vox_res
-            enc['occ_pred'] = vox_feat[0].reshape(-1, R, R, R)
+            enc['occ_pred'] = vox_feat[0].reshape(-1, R, R, R).astype(
+                jnp.float32)
         else:
             vox_feat = self.vox_encoder(occ, train, False)
             enc['vox_feat'] = vox_feat

@@ -17,7 +17,7 @@ features (1024) + xyz (3) = 3610-d, then a 1x1-conv MLP
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -68,10 +68,16 @@ class _Conv3(nn.Module):
 
 
 def _maxpool2_cmajor(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2x2 max pool on (B, C, D, H, W)."""
-    B, C, D, H, W = x.shape
-    x = x.reshape(B, C, D // 2, 2, H // 2, 2, W // 2, 2)
-    return x.max(axis=(3, 5, 7))
+    """2x2x2 max pool on (B, C, D, H, W) as three pairwise maxes.
+
+    The single reshape-to-(...,2,...,2,...,2)-and-reduce formulation makes
+    XLA materialize its backward mask in a channels-minor layout (8x lane
+    padding -> an 8 GB buffer at batch 8); per-axis pairwise maxes keep
+    every intermediate in the natural (H, W)-minor layout."""
+    x = jnp.maximum(x[..., ::2], x[..., 1::2])          # W
+    x = jnp.maximum(x[..., ::2, :], x[..., 1::2, :])    # H
+    x = jnp.maximum(x[:, :, ::2], x[:, :, 1::2])        # D
+    return x
 
 
 class VoxelEncoder2(nn.Module):
@@ -83,6 +89,9 @@ class VoxelEncoder2(nn.Module):
     """
     layers: Sequence[int] = (1, 1, 1, 1, 16, 32, 64, 128, 128)
     cmajor: bool = False
+    # dtype of fold-packed training features; bf16 halves the pack-
+    # transpose copy that XLA materializes lane-padded (None = keep f32).
+    packed_dtype: Optional[str] = 'bfloat16'
 
     @nn.compact
     def __call__(self, occ: jnp.ndarray, train: bool = False,
@@ -97,9 +106,12 @@ class VoxelEncoder2(nn.Module):
         features = []
         metas = []
 
+        pdt = jnp.dtype(self.packed_dtype) if self.packed_dtype else None
+
         def collect(f, is_cm):
             if packed:
-                p, meta = pack_cmajor(f) if is_cm else pack_channels_last(f)
+                p, meta = (pack_cmajor(f, pdt) if is_cm
+                           else pack_channels_last(f, pdt))
                 features.append(p)
                 metas.append(meta)
             else:

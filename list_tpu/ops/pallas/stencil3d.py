@@ -91,11 +91,15 @@ def _dk_kernel(x0_ref, x1_ref, x2_ref, dy_ref, o_ref, stack):
                 t = dy * 3 + (dx + 1)
                 sl = x_ref[0, :, 0, dy:dy + H, :]
                 stack[t * ci:(t + 1) * ci] = _shift_w(sl, dx)
-        # (9Ci, H*W) x (Co, H*W) -> (9Ci, Co), contracting spatial
-        part = jax.lax.dot_general(
-            stack[:], g, (((1, 2), (1, 2)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[dz] = o_ref[dz] + part
+        # Mosaic matmul can't contract (H, W) jointly (no lane-crossing
+        # reshapes either); per output channel, multiply-reduce on the VPU.
+        # All intermediates stay rank>=2 (rank-1 crashes layout inference).
+        st = stack[:]
+        cols = []
+        for c in range(g.shape[0]):
+            s2 = jnp.sum(st * g[c][None], axis=2)          # (9Ci, H)
+            cols.append(jnp.sum(s2, axis=1, keepdims=True))  # (9Ci, 1)
+        o_ref[dz] = o_ref[dz] + jnp.concatenate(cols, axis=1)
 
 
 def _flax_to_stacked(kernel: jnp.ndarray) -> jnp.ndarray:
@@ -129,6 +133,8 @@ def _conv_fwd_impl(x, kernel, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Co, D, H, W), jnp.float32),
         scratch_shapes=[pltpu.VMEM((9 * Ci, H, W), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xp, xp, xp, ks)
     return out
@@ -152,6 +158,8 @@ def _conv_dk_impl(x, dy, ci, co, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, 9 * Ci, co), jnp.float32),
         scratch_shapes=[pltpu.VMEM((9 * Ci, H, W), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xp, xp, xp, dy)
     # (3, 9*Ci, Co) -> flax (3, 3, 3, Ci, Co)

@@ -193,22 +193,28 @@ def pack_meta(shape_dhwc):
     return g
 
 
-def pack_channels_last(f: jnp.ndarray):
+def pack_channels_last(f: jnp.ndarray, dtype=None):
     """(B, D, H, W, C) -> ((B, D*H*W/g, g*C), (D, H, W, C, g)).  Pure
     reshape (W-major groups are contiguous)."""
     B, D, H, W, C = f.shape
     g = pack_meta((D, H, W, C))
+    if dtype is not None:
+        f = f.astype(dtype)
     return f.reshape(B, D * H * W // g, g * C), (D, H, W, C, g)
 
 
-def pack_cmajor(f: jnp.ndarray):
+def pack_cmajor(f: jnp.ndarray, dtype=None):
     """(B, C, D, H, W) -> same packed form (one transpose whose output is
-    lane-dense)."""
+    lane-dense).  Cast BEFORE the transpose: XLA materializes the permuted
+    intermediate channels-minor (lane-padded to 128), so its bytes — 8 GB
+    f32 for the batch-8 16ch@128^3 feature — halve in bf16."""
     B, C, D, H, W = f.shape
     g = pack_meta((D, H, W, C))
+    if dtype is not None:
+        f = f.astype(dtype)
     if C == 1:
         return f.reshape(B, D * H * W // g, g), (D, H, W, C, g)
-    ft = jnp.transpose(f, (0, 2, 3, 4, 1))  # fused into the reshape copy
+    ft = jnp.transpose(f, (0, 2, 3, 4, 1))
     return ft.reshape(B, D * H * W // g, g * C), (D, H, W, C, g)
 
 

@@ -75,11 +75,13 @@ def test_voxel_encoder_cmajor_parity(rng):
     for a, b in zip(f_cl, f_cm):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-4, rtol=1e-4)
-    # packed mode round-trips the same values
+    # packed mode round-trips the same values (packed features are bf16)
+    import jax.numpy as jnp2
     from list_tpu.ops.sampling import pack_channels_last
     f_pk, metas = enc_cm.apply(v, occ, False, True)
     for a, p, m in zip(f_cl, f_pk, metas):
-        ref, m2 = pack_channels_last(a)
+        ref, m2 = pack_channels_last(a, jnp2.bfloat16)
         assert m == m2
-        np.testing.assert_allclose(np.asarray(p), np.asarray(ref),
-                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(p, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-3, rtol=1e-2)

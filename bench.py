@@ -49,20 +49,63 @@ def main():
     except Exception:
         pass
 
+    import gc
+
     from list_tpu.config import default_config
     from list_tpu.models import LIST
     from list_tpu.train.executors import LISTExecutor
 
+    rng = np.random.RandomState(0)
+    extras = {'device': str(jax.devices()[0])}
+
+    # ---- training-step benchmark (hot loop #2) ---------------------------
+    # Runs FIRST: the batch-8 step fits 16 GB HBM with ~250 MB headroom, so
+    # any residual inference allocations tip it over.
+    for bsz in (8, 4):
+        try:
+            bcfg = default_config(sdf_scale=10.0, vox_res=128,
+                                  train_batch_size=bsz,
+                                  sample_point_density=32768,
+                                  sample_distribution=[1.0])
+            bmodel = LIST.from_config(bcfg)  # --remat default applies
+            bex = LISTExecutor(bcfg, bmodel)
+            batch = {
+                'rgb_image': rng.rand(bsz, 224, 224, 3).astype(np.float32),
+                'points': rng.uniform(-0.5, 0.5, (bsz, 32768, 3)).astype(
+                    np.float32),
+                'values': (rng.randn(bsz, 32768) * 0.05).astype(np.float32),
+                'occ': (rng.rand(bsz, 128, 128, 128) > 0.99).astype(
+                    np.float32),
+            }
+            bex.init_state(batch)
+            t0 = time.time()
+            _, losses = bex.train(batch)  # compile + step
+            _fetch(losses['sdf_loss'])
+            extras['train_compile_s'] = round(time.time() - t0, 1)
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                _, losses = bex.train(batch)
+                _fetch(losses['sdf_loss'])
+                ts.append(time.time() - t0)
+            step_s = float(np.median(ts))
+            extras['train_batch'] = bsz
+            extras['train_step_s'] = round(step_s, 3)
+            extras['train_steps_per_sec'] = round(1.0 / step_s, 3)
+            del bex, bmodel, batch, losses
+            break
+        except Exception as e:  # pragma: no cover - bench resilience
+            extras['train_step_s'] = f'failed(b{bsz}): {e}'[:200]
+    gc.collect()
+
     cfg = default_config(sdf_scale=10.0, test_pointnum=65536, vox_res=128)
     model = LIST.from_config(cfg)
     ex = LISTExecutor(cfg, model)
-
-    rng = np.random.RandomState(0)
     img = rng.rand(1, 224, 224, 3).astype(np.float32)
     ex.init_state({'rgb_image': img})
 
     n_queries = cfg.vox_res ** 3
-    extras = {'n_queries': n_queries, 'device': str(jax.devices()[0])}
+    extras['n_queries'] = n_queries
 
     # ---- headline: gather-free dense-grid path --------------------------
     t0 = time.time()
@@ -72,13 +115,15 @@ def main():
     assert np.isfinite(grid).all()
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         grid = ex.predict_grid(img)
         times.append(time.time() - t0)
+    # the shared chip shows 30-50% run-to-run noise; report median AND best
     sec_per_mesh = float(np.median(times))
     qps = n_queries / sec_per_mesh
     extras['sec_per_mesh_128'] = round(sec_per_mesh, 4)
+    extras['sec_per_mesh_128_best'] = round(float(np.min(times)), 4)
 
     # ---- 256^3 dense inference (BASELINE.json config #3) -----------------
     try:
@@ -114,37 +159,6 @@ def main():
             qps / (n_pts / dt), 2)
     except Exception as e:  # pragma: no cover - bench resilience
         extras['chunked_qps_measured'] = f'failed: {e}'
-
-    # ---- training-step benchmark (hot loop #2) ---------------------------
-    try:
-        bcfg = default_config(sdf_scale=10.0, vox_res=128,
-                              train_batch_size=8, sample_point_density=32768,
-                              sample_distribution=[1.0])
-        bmodel = LIST.from_config(bcfg)  # --remat default applies
-        bex = LISTExecutor(bcfg, bmodel)
-        batch = {
-            'rgb_image': rng.rand(8, 224, 224, 3).astype(np.float32),
-            'points': rng.uniform(-0.5, 0.5, (8, 32768, 3)).astype(
-                np.float32),
-            'values': (rng.randn(8, 32768) * 0.05).astype(np.float32),
-            'occ': (rng.rand(8, 128, 128, 128) > 0.99).astype(np.float32),
-        }
-        bex.init_state(batch)
-        t0 = time.time()
-        _, losses = bex.train(batch)  # compile + step
-        _fetch(losses['sdf_loss'])
-        extras['train_compile_s'] = round(time.time() - t0, 1)
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            _, losses = bex.train(batch)
-            _fetch(losses['sdf_loss'])
-            ts.append(time.time() - t0)
-        step_s = float(np.median(ts))
-        extras['train_step_s_b8'] = round(step_s, 3)
-        extras['train_steps_per_sec_b8'] = round(1.0 / step_s, 3)
-    except Exception as e:  # pragma: no cover - bench resilience
-        extras['train_step_s_b8'] = f'failed: {e}'
 
     print(json.dumps({
         'metric': 'sdf_queries_per_sec',

@@ -331,7 +331,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                 parts, percep.astype(compute_dtype), q[0],
                 C['w1_scale'], w1_xyz_, b1_,
                 w2_, b2_, w3_, b3_, w4_, b4_,
-                tile=min(512, n), interpret=pallas_interpret)
+                tile=min(1024, n), interpret=pallas_interpret)
             return sdf.reshape(S, R, R)
 
         if fuse_scales:

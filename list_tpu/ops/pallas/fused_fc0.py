@@ -127,6 +127,8 @@ def fused_fc0_mlp(stacks: Sequence[jnp.ndarray], percep: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, OUT_PAD), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile, d1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*stacks, percep, qpad,
       *[w.astype(dt) for w in w1_scales],

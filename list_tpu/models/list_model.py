@@ -93,6 +93,9 @@ class LIST(nn.Module):
     # residents of the train step; recomputing them trades ~5% step FLOPs
     # for several GB of live activation memory.
     remat: bool = False
+    # dtype of the fold-packed training features (None = f32; bf16 halves
+    # the pack-transpose copy XLA materializes lane-padded).
+    vox_packed_dtype: Optional[str] = 'bfloat16'
     # Split the training query axis into this many rematerialized chunks:
     # the reference holds the full (B, 3610, N) first-layer activation live
     # (modules.py:276); at batch 8 x 32,441 queries that is ~3.8 GB f32 and
@@ -118,7 +121,8 @@ class LIST(nn.Module):
         # cmajor: the full-resolution conv stage runs channel-major so its
         # activations aren't lane-padded 8-128x by XLA (stencil3d.py).
         self.vox_encoder = vox_cls(layers=tuple(self.im_enc_layers),
-                                   cmajor=True)
+                                   cmajor=True,
+                                   packed_dtype=self.vox_packed_dtype)
         self.sdf_decoder = VoxelDecoder2(h_dim=self.h_dim)
         self.percep_pooling = PerceptualPooling()
         enc_kw = ({} if self.im_filters is None

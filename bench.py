@@ -60,13 +60,21 @@ def main():
 
     # ---- training-step benchmark (hot loop #2) ---------------------------
     # Runs FIRST: the batch-8 step fits 16 GB HBM with ~250 MB headroom, so
-    # any residual inference allocations tip it over.
-    for bsz in (8, 4):
+    # any residual inference allocations tip it over.  Default measures
+    # batch 4/chip (reference's global batch 8 = 2 chips of the v5e-8
+    # target); BENCH_TRY_B8=1 attempts batch 8 first (its compile alone is
+    # ~20 min on this host and it OOMs without a pristine chip).
+    import os
+    sizes = (8, 4) if os.environ.get('BENCH_TRY_B8') else (4,)
+    for bsz in sizes:
         try:
             bcfg = default_config(sdf_scale=10.0, vox_res=128,
                                   train_batch_size=bsz,
                                   sample_point_density=32768,
-                                  sample_distribution=[1.0])
+                                  sample_distribution=[1.0],
+                                  # 2 chunks fit at batch<=4 and halve the
+                                  # (huge) train-step compile time
+                                  train_query_chunks=2)
             bmodel = LIST.from_config(bcfg)  # --remat default applies
             bex = LISTExecutor(bcfg, bmodel)
             batch = {

@@ -65,10 +65,17 @@ def _build_parser() -> ArgumentParser:
     parser.add_argument('--train_batch_size', type=int, default=12)
     parser.add_argument('--test_batch_size', type=int, default=1)
     parser.add_argument('--epochs', type=int, default=300)
-    parser.add_argument('--sampling_mode', type=str, default='weighted')
+    parser.add_argument('--sampling_mode', type=str, default='weighted',
+                        help='accepted for reference CLI parity; inert — '
+                             'the reference never reads it either '
+                             '(arguments.py:58): query mixing is governed '
+                             'by --sample_distribution/--sigmas')
     parser.add_argument('--exp_name', '-e', type=str, default='d2im+tGCN')
     parser.add_argument('--eval_pred', action='store_true')
-    parser.add_argument('--supervise_proj', action='store_true')
+    parser.add_argument('--supervise_proj', action='store_true',
+                        help='accepted for reference CLI parity; inert — '
+                             'no shipped config supervises the learned '
+                             'projection in the reference either')
     parser.add_argument('--coarse_point_density', type=int, default=10000)
     parser.add_argument('--sample_point_density', type=int, default=32768)
     parser.add_argument('--sdf_max_dist', type=float, default=1.0)

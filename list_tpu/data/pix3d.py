@@ -119,7 +119,7 @@ class Pix3D:
         which random coarse subsample produced the grid (reference caches
         whichever ran first); here the precompute uses a deterministic
         subsample so the artifact is reproducible."""
-        gen = np.random.default_rng(getattr(self.config, 'seed', 333))
+        seed = getattr(self.config, 'seed', 333)
         for data in self.datalist:
             occ_file, key = self._occ_cache(data['query_path'])
             with _h5_lock, h5py.File(occ_file, 'a') as f:
@@ -127,6 +127,11 @@ class Pix3D:
                     continue
                 with h5py.File(data['query_path'], 'r') as q:
                     pc = q['grid_points'][:]
+                # Per-item rng (seed + path hash): each cache entry is the
+                # same regardless of which entries were already warm.
+                import zlib
+                gen = np.random.default_rng(
+                    (seed, zlib.crc32(data['query_path'].encode())))
                 pc = pc[gen.integers(0, pc.shape[0], self.coarse_points)]
                 occ = quantize_occupancy(pc, self.config.bb_min,
                                          self.config.bb_max, self.vox_res)

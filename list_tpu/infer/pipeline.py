@@ -76,7 +76,7 @@ def _host_finish(executor, batch, fname, pred_values, eval_pred
     if pred_values is None:
         try:
             pred = load_mesh(fname + '_pred.obj')
-            if eval_pred:
+            if eval_pred and batch.get('gt_mesh') is not None:
                 return executor.eval(pred, batch['gt_mesh'])
             return {}
         except Exception:

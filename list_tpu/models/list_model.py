@@ -158,11 +158,11 @@ class LIST(nn.Module):
             # Fold-packed features: lane-dense gather operands for the
             # training sampler (a channels-last (B, R^3, C<=64) operand
             # would be lane-padded to 128 by XLA — 8.6 GB at batch 8).
-            vox_feat, _ = self.vox_encoder(occ, train, True)
+            # occ_pred comes back f32 straight from the sigmoid (before the
+            # bf16 fold-pack) so the occ loss is not quantized.
+            vox_feat, _, occ_pred = self.vox_encoder(occ, train, True)
             enc['vox_feat'] = vox_feat
-            R = self.vox_res
-            enc['occ_pred'] = vox_feat[0].reshape(-1, R, R, R).astype(
-                jnp.float32)
+            enc['occ_pred'] = occ_pred
         else:
             vox_feat = self.vox_encoder(occ, train, False)
             enc['vox_feat'] = vox_feat

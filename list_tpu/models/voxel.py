@@ -118,6 +118,7 @@ class VoxelEncoder2(nn.Module):
                 features.append(jnp.moveaxis(f, 1, -1) if is_cm else f)
 
         L = list(self.layers)
+        occ_pred = None
         for l in range(len(L) - 1):
             conv = _Conv3(L[l + 1], L[l], name=f'conv_{l}')
             if l < 2:
@@ -125,6 +126,11 @@ class VoxelEncoder2(nn.Module):
                 net = _bn(train, f'bn_{l}', axis=1 if cm else -1)(net)
             elif l == 2:
                 net = nn.sigmoid(conv(net, cm))
+                # The occ loss consumes this map in f32; capture it before
+                # the (possibly bf16) fold-pack so the loss/gradient never
+                # see packed-dtype rounding of the sigmoid probabilities.
+                occ_pred = (net[:, 0] if cm else net[..., 0]).astype(
+                    jnp.float32)
                 collect(net, cm)
             else:
                 net = nn.relu(conv(net, cm))
@@ -140,7 +146,7 @@ class VoxelEncoder2(nn.Module):
                 else:
                     net = nn.max_pool(net, (2, 2, 2), strides=(2, 2, 2))
         if packed:
-            return features, metas
+            return features, metas, occ_pred
         return features
 
 

@@ -71,6 +71,8 @@ def _load() -> Optional[ctypes.CDLL]:
             c_float_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_double, ctypes.POINTER(c_double_p),
             ctypes.POINTER(c_int64_p), c_int64_p]
+        lib.marching_cubes_mc.restype = ctypes.c_int64
+        lib.marching_cubes_mc.argtypes = lib.marching_tetrahedra.argtypes
         lib.kdtree_nn.argtypes = [c_double_p, ctypes.c_int64, c_double_p,
                                   ctypes.c_int64, c_double_p, c_int64_p]
         lib.unsigned_distance.argtypes = [c_double_p, ctypes.c_int64,
@@ -222,25 +224,31 @@ class TriangleHash:
 # Isosurface extraction
 # ---------------------------------------------------------------------------
 
-def marching_cubes(grid: np.ndarray, iso: float = 0.0
+def marching_cubes(grid: np.ndarray, iso: float = 0.0, method: str = 'mc'
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Extract the iso-surface of a 3D scalar field.
 
     Same call convention as ``mcubes.marching_cubes`` (reference:
     utils.py:173): grid indexed [x, y, z], vertices in grid-index coords.
-    Backed by watertight marching tetrahedra (Kuhn 6-tet subdivision) in C++.
+
+    method='mc' (default): table-based marching cubes (libmesh.cpp,
+    first-principles-generated case tables) — vertices at the identical
+    edge-interpolation points as the reference's mcubes, watertight.
+    method='mt': watertight marching tetrahedra (Kuhn 6-tet subdivision) —
+    kept for cross-checking (≈3x more triangles, interior-diagonal verts).
     """
     grid = np.ascontiguousarray(grid, np.float32)
     nx, ny, nz = grid.shape
     lib = _load()
     if lib is None:
         return _marching_tetrahedra_numpy(grid, iso)
+    fn = lib.marching_cubes_mc if method == 'mc' else lib.marching_tetrahedra
     vp = c_double_p()
     tp = c_int64_p()
     ntris = np.zeros(1, np.int64)
-    nv = lib.marching_tetrahedra(_ptr(grid, c_float_p), nx, ny, nz,
-                                 float(iso), ctypes.byref(vp),
-                                 ctypes.byref(tp), _ptr(ntris, c_int64_p))
+    nv = fn(_ptr(grid, c_float_p), nx, ny, nz,
+            float(iso), ctypes.byref(vp),
+            ctypes.byref(tp), _ptr(ntris, c_int64_p))
     nt = int(ntris[0])
     verts = (np.ctypeslib.as_array(vp, (nv, 3)).copy() if nv
              else np.zeros((0, 3)))

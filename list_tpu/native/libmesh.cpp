@@ -22,6 +22,7 @@
 // lm_free.
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -323,6 +324,191 @@ int64_t marching_tetrahedra(const float* grid, int64_t nx, int64_t ny,
             pos[i][2] = (double)gz;
           }
           mt_tet(st, key, val, pos, iso);
+        }
+      }
+
+  int64_t n_verts = (int64_t)(st.verts.size() / 3);
+  *verts_out = (double*)malloc(st.verts.size() * sizeof(double));
+  std::memcpy(*verts_out, st.verts.data(), st.verts.size() * sizeof(double));
+  *tris_out = (int64_t*)malloc(st.tris.size() * sizeof(int64_t));
+  std::memcpy(*tris_out, st.tris.data(), st.tris.size() * sizeof(int64_t));
+  *n_tris_out = (int64_t)(st.tris.size() / 3);
+  return n_verts;
+}
+
+// ---------------------------------------------------------------------------
+// Table-based marching cubes (the production extractor).
+//
+// The reference extracts with mcubes.marching_cubes (utils.py:172-182).
+// This is the same MC family: vertices at the identical per-edge linear
+// interpolation points.  The 256 case tables are NOT copied from anywhere —
+// they are generated at first use from first principles: marching-squares
+// segments on the 6 cell faces (ambiguous faces resolved by a fixed
+// sign-only rule, so neighbours agree -> watertight), stitched into closed
+// loops, fan-triangulated.  tests/mc_oracle.py is the NumPy twin of this
+// construction and cross-checks it.
+// ---------------------------------------------------------------------------
+
+namespace mc {
+
+// corner index = x*4 + y*2 + z
+static const int CORNER[8][3] = {{0, 0, 0}, {0, 0, 1}, {0, 1, 0}, {0, 1, 1},
+                                 {1, 0, 0}, {1, 0, 1}, {1, 1, 0}, {1, 1, 1}};
+static int EDGE[12][2];
+static int edge_of[8][8];  // corner pair -> edge id (-1 if not an edge)
+// per case: triangles as triples of cell-edge ids
+static std::vector<std::array<int, 3>> case_tris[256];
+static bool ready = false;
+
+static void face_segments(int mask, const int c[4],
+                          std::vector<std::pair<int, int>>& segs) {
+  // c: 4 corner ids in cyclic order; edges[i] joins c[i] and c[(i+1)%4].
+  bool in[4];
+  int n = 0;
+  for (int i = 0; i < 4; ++i) {
+    in[i] = (mask >> c[i]) & 1;
+    n += in[i];
+  }
+  if (n == 0 || n == 4) return;
+  int e[4];
+  for (int i = 0; i < 4; ++i) e[i] = edge_of[c[i]][c[(i + 1) % 4]];
+  if (n == 1 || n == 3) {
+    int lone = 0;
+    for (int i = 0; i < 4; ++i)
+      if (in[i] == (n == 1)) lone = i;
+    segs.push_back({e[(lone + 3) % 4], e[lone]});
+  } else if (in[0] == in[1]) {
+    segs.push_back({e[1], e[3]});
+  } else if (in[1] == in[2]) {
+    segs.push_back({e[0], e[2]});
+  } else {  // diagonal: keep the two inside corners disconnected
+    int a = in[0] ? 0 : 1;
+    segs.push_back({e[(a + 3) % 4], e[a]});
+    segs.push_back({e[(a + 1) % 4], e[(a + 2) % 4]});
+  }
+}
+
+static void build_tables() {
+  // edges: corner pairs differing in exactly one axis, in (a, b) a<b order
+  int ne = 0;
+  for (int a = 0; a < 8; ++a)
+    for (int b = 0; b < 8; ++b) edge_of[a][b] = -1;
+  for (int a = 0; a < 8; ++a)
+    for (int b = a + 1; b < 8; ++b) {
+      int diff = 0;
+      for (int d = 0; d < 3; ++d) diff += CORNER[a][d] != CORNER[b][d];
+      if (diff == 1) {
+        EDGE[ne][0] = a;
+        EDGE[ne][1] = b;
+        edge_of[a][b] = edge_of[b][a] = ne;
+        ++ne;
+      }
+    }
+  // faces: (axis, side) -> 4 corners cyclic (collection order 0,1,3,2)
+  int faces[6][4];
+  int nf = 0;
+  for (int axis = 0; axis < 3; ++axis)
+    for (int side = 0; side < 2; ++side) {
+      int coll[4], m = 0;
+      for (int ci = 0; ci < 8; ++ci)
+        if (CORNER[ci][axis] == side) coll[m++] = ci;
+      faces[nf][0] = coll[0];
+      faces[nf][1] = coll[1];
+      faces[nf][2] = coll[3];
+      faces[nf][3] = coll[2];
+      ++nf;
+    }
+  for (int mask = 1; mask < 255; ++mask) {
+    std::vector<std::pair<int, int>> segs;
+    for (int f = 0; f < 6; ++f) face_segments(mask, faces[f], segs);
+    // stitch into loops: each cut edge has exactly two incident segments
+    int adj[12][2];
+    int deg[12] = {0};
+    for (auto& s : segs) {
+      adj[s.first][deg[s.first]++] = s.second;
+      adj[s.second][deg[s.second]++] = s.first;
+    }
+    bool seen[12] = {false};
+    for (auto& s : segs) {
+      int start = s.first;
+      if (seen[start]) continue;
+      std::vector<int> loop;
+      int cur = start, prev = -1;
+      while (true) {
+        loop.push_back(cur);
+        seen[cur] = true;
+        int nxt = -1;
+        for (int k = 0; k < deg[cur]; ++k)
+          if (adj[cur][k] != prev) nxt = adj[cur][k];
+        if (nxt < 0 || nxt == start || seen[nxt]) break;
+        prev = cur;
+        cur = nxt;
+      }
+      for (size_t t = 1; t + 1 < loop.size(); ++t)
+        case_tris[mask].push_back({loop[0], (int)loop[t], (int)loop[t + 1]});
+    }
+  }
+  ready = true;
+}
+
+}  // namespace mc
+
+int64_t marching_cubes_mc(const float* grid, int64_t nx, int64_t ny,
+                          int64_t nz, double iso, double** verts_out,
+                          int64_t** tris_out, int64_t* n_tris_out) {
+  if (!mc::ready) mc::build_tables();
+  MTState st;
+  for (int64_t x = 0; x + 1 < nx; ++x)
+    for (int64_t y = 0; y + 1 < ny; ++y)
+      for (int64_t z = 0; z + 1 < nz; ++z) {
+        double v[8];
+        int mask = 0;
+        for (int ci = 0; ci < 8; ++ci) {
+          const int* c = mc::CORNER[ci];
+          v[ci] = grid[((x + c[0]) * ny + (y + c[1])) * nz + (z + c[2])];
+          if (v[ci] < iso) mask |= 1 << ci;
+        }
+        if (mask == 0 || mask == 255) continue;
+        // field gradient (for outward orientation: normal toward +field)
+        double gx = 0, gy = 0, gz = 0;
+        for (int ci = 0; ci < 8; ++ci) {
+          const int* c = mc::CORNER[ci];
+          gx += (c[0] ? v[ci] : -v[ci]);
+          gy += (c[1] ? v[ci] : -v[ci]);
+          gz += (c[2] ? v[ci] : -v[ci]);
+        }
+        int64_t vid[12];
+        for (int e = 0; e < 12; ++e) vid[e] = -1;
+        for (auto& tri : mc::case_tris[mask]) {
+          for (int k = 0; k < 3; ++k) {
+            int e = tri[k];
+            if (vid[e] >= 0) continue;
+            int a = mc::EDGE[e][0], b = mc::EDGE[e][1];
+            const int *ca = mc::CORNER[a], *cb = mc::CORNER[b];
+            int64_t gxa = x + ca[0], gya = y + ca[1], gza = z + ca[2];
+            int64_t gxb = x + cb[0], gyb = y + cb[1], gzb = z + cb[2];
+            uint64_t ka = (uint64_t)((gxa * ny + gya) * nz + gza);
+            uint64_t kb = (uint64_t)((gxb * ny + gyb) * nz + gzb);
+            double pa[3] = {(double)gxa, (double)gya, (double)gza};
+            double pb[3] = {(double)gxb, (double)gyb, (double)gzb};
+            vid[e] = mt_vertex(st, ka, kb, v[a], v[b], iso, pa, pb);
+          }
+          int64_t A = vid[tri[0]], B = vid[tri[1]], C = vid[tri[2]];
+          // orient: normal . grad > 0
+          const double* pA = &st.verts[A * 3];
+          const double* pB = &st.verts[B * 3];
+          const double* pC = &st.verts[C * 3];
+          double u[3] = {pB[0] - pA[0], pB[1] - pA[1], pB[2] - pA[2]};
+          double w[3] = {pC[0] - pA[0], pC[1] - pA[1], pC[2] - pA[2]};
+          double n0 = u[1] * w[2] - u[2] * w[1];
+          double n1 = u[2] * w[0] - u[0] * w[2];
+          double n2 = u[0] * w[1] - u[1] * w[0];
+          // callers pass -sdf (utils.py:173 semantics): the object interior
+          // has field > iso, so outward normals point toward -gradient
+          if (n0 * gx + n1 * gy + n2 * gz > 0) std::swap(B, C);
+          st.tris.push_back(A);
+          st.tris.push_back(B);
+          st.tris.push_back(C);
         }
       }
 

@@ -311,9 +311,19 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
             # (7, r, R, R, C): per-tap source rows (x-shifted taps reuse the
             # same slab row range; L7 encodes their shifted bands).
             V7 = jnp.stack([variants[key] for (_, key) in TAPS])
-            A = jnp.einsum('tsr,tryzc->syztc', L7s[si], V7,
-                           preferred_element_type=jnp.float32)
-            parts.append(A.astype(compute_dtype).reshape(n, 7 * ch))
+            if use_pallas:
+                # t-major: the batched matmul's NATIVE output layout — no
+                # transpose.  Round-2 profiling showed the 'syztc'
+                # transpose materializing the (n, 7C) stacks was the
+                # largest single decode cost (~0.2 s per 128^3 grid); the
+                # Pallas head consumes (7, n, C) directly.
+                A = jnp.einsum('tsr,tryzc->tsyzc', L7s[si], V7,
+                               preferred_element_type=jnp.float32)
+                parts.append(A.astype(compute_dtype).reshape(7, n, ch))
+            else:
+                A = jnp.einsum('tsr,tryzc->syztc', L7s[si], V7,
+                               preferred_element_type=jnp.float32)
+                parts.append(A.astype(compute_dtype).reshape(n, 7 * ch))
 
         # ---- perceptual part (pre-projected 512-ch maps) -----------------
         world = grid_world_coords(R, x0, S, bb_min, bb_max)

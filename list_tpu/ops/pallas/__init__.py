@@ -8,8 +8,6 @@ Experimental (NOT wired into any production path):
 - dense_decode: a fully-fused variant that also does the x-lerp in-kernel;
   parity-green but slower than the XLA dense path on v5e (round-1 finding:
   Mosaic dynamic-row VMEM slicing per tap dominates) — kept as a study.
-- mlp.fused_sdf_mlp: standalone 4-layer MLP kernel superseded by fused_fc0.
 """
 
-from list_tpu.ops.pallas.mlp import fused_sdf_mlp, sdf_mlp_reference  # noqa: F401
 from list_tpu.ops.pallas.fused_fc0 import fused_fc0_mlp  # noqa: F401

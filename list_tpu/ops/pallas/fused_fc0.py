@@ -1,41 +1,42 @@
 """Pallas TPU kernel: fused SDF-decoder head for the dense-grid path.
 
 Consumes what the dense-grid pipeline (ops/dense_grid.py) already produces
-per slab — the per-scale displacement-tap stacks (n, 7*C_s), the
-pre-projected perceptual features (n, 512) and the normalized query coords
-(n, 3) — and evaluates fc_0 (six partial matmuls accumulated in VMEM),
-bias + ReLU, and the fc_1/fc_2/fc_out tail, all without touching HBM
-between layers.
+per slab — per-scale displacement-tap stacks in **t-major** layout
+(7, n, C_s), the pre-projected perceptual features (n, 512) and the
+normalized query coords (n, 3) — and evaluates fc_0 (42 per-tap partial
+matmuls accumulated in VMEM), bias + ReLU, and the fc_1/fc_2/fc_out tail,
+all without touching HBM between layers.
 
-Why: in the XLA path the (n, 512) f32 fc_0 accumulator plus the 512/256/256
-hidden activations round-trip HBM several times per slab (~60-90 ms per
-128^3 grid).  Here each query tile's activations live in VMEM scratch; HBM
-traffic is one read of the stacked features and one (n, 128) padded write
-of the scalar SDF.
+Why t-major: the banded tap einsum is a batched-over-tap matmul whose
+natural output layout is (t, n, C).  Round 2 transposed it to (n, 7*C) to
+feed one matmul per scale — profiling showed that transpose materializing
+~21 GB per 128^3 grid was the single largest decode cost (~0.2 s).  Here
+the kernel accepts the einsum's native layout and contracts tap-by-tap:
+acc += stack[t] @ W1[t] (K = C_s, up to 128 — fine MXU shapes for the
+scales that carry the FLOPs).
 
 Reference semantics: VoxelDecoder2 (network/modules.py:247-282) — the tap
-stacks and fc_0 row permutation are produced by ops/dense_grid.py with the
-same (scale, disp, channel) ordering used there.
+stacks and fc_0 row blocks are produced by ops/dense_grid.py with the
+reference (scale, disp, channel) ordering.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 OUT_PAD = 128  # fc_out padded to 128 lanes; caller slices column 0.
 
 
-def _kernel(n_scales):
+def _kernel(n_scales, channels):
     def kernel(*refs):
-        # refs: [stack_0..stack_{S-1}, percep, qxyz, w1_0..w1_{S-1},
-        #        w1p? (percep comes pre-projected, no weight), w1_xyz, b1,
+        # refs: [stack_0..stack_{S-1} (7, T, C_s), percep, qxyz,
+        #        w1_0..w1_{S-1} (7, C_s, 512), w1_xyz, b1,
         #        w2, b2, w3, b3, w4pad, b4pad, out, acc_scratch]
         stacks = refs[:n_scales]
         percep = refs[n_scales]
@@ -44,13 +45,17 @@ def _kernel(n_scales):
         (w1_xyz, b1, w2, b2, w3, b3, w4, b4, out, acc) = \
             refs[2 * n_scales + 2:]
 
-        x = stacks[0][:]
-        acc[:] = jnp.dot(x, w1s[0][:], preferred_element_type=jnp.float32)
-        for s in range(1, n_scales):
-            acc[:] += jnp.dot(stacks[s][:], w1s[s][:],
-                              preferred_element_type=jnp.float32)
         # perceptual part is pre-projected through fc_0's percep rows
-        acc[:] += percep[:].astype(jnp.float32)
+        acc[:] = percep[:].astype(jnp.float32)
+        for s in range(n_scales):
+            for t in range(7):
+                if channels[s] == 1:
+                    # K=1 matmul legalizes poorly; broadcast FMA instead
+                    acc[:] += (stacks[s][t].astype(jnp.float32)
+                               * w1s[s][t].astype(jnp.float32))
+                else:
+                    acc[:] += jnp.dot(stacks[s][t], w1s[s][t],
+                                      preferred_element_type=jnp.float32)
         # xyz rows: (T, 3) @ (3, 512) — tiny, do as explicit broadcast sum
         q = qxyz[:].astype(jnp.float32)  # (T, 8) padded; cols 0..2 valid
         wx = w1_xyz[:]  # (8, 512) padded rows
@@ -76,22 +81,28 @@ def fused_fc0_mlp(stacks: Sequence[jnp.ndarray], percep: jnp.ndarray,
                   w3: jnp.ndarray, b3: jnp.ndarray,
                   w4: jnp.ndarray, b4: jnp.ndarray,
                   tile: int = 512, interpret: bool = False) -> jnp.ndarray:
-    """stacks: per-scale (n, 7*C_s) bf16; percep: (n, 512) pre-projected
-    fc_0 contribution; qxyz: (n, 3) normalized coords.  Weights in flax
-    Dense layout.  Returns (n,) f32 raw SDF.
+    """stacks: per-scale t-major (7, n, C_s) bf16; percep: (n, 512)
+    pre-projected fc_0 contribution; qxyz: (n, 3) normalized coords.
+    w1_scales: per-scale (7*C_s, 512) fc_0 row blocks in (disp, channel)
+    row order (reshaped internally to (7, C_s, 512)).  Returns (n,) f32
+    raw SDF.
 
-    VMEM budget at tile=512 (v5e has ~16 MB/core): double-buffered input
-    blocks 2*(512*2583 + 512*512 + 512*8)*2B ~= 6.4 MB, weights ~3.1 MB
-    resident, f32 accumulator 1 MB, padded out 0.5 MB — tile=2048 blows
-    the budget (~30 MB) and crashes the AOT compile helper."""
-    n = stacks[0].shape[0]
+    VMEM at tile=512 (v5e): double-buffered input blocks
+    2*(512*2583 + 512*512 + 512*8)*2B ~= 6.4 MB, weights ~3.1 MB resident,
+    f32 accumulator 1 MB, padded out 0.5 MB.
+    """
+    n = stacks[0].shape[1]
     assert n % tile == 0, (n, tile)
     n_scales = len(stacks)
+    channels = tuple(int(s.shape[2]) for s in stacks)
     dt = stacks[0].dtype
     d1 = w2.shape[0]
 
-    # pad qxyz to 8 lanes / w1_xyz to 8 rows (lane-alignment)
-    qpad = jnp.zeros((n, 8), dt).at[:, :3].set(qxyz.astype(dt))
+    # pad qxyz to 8 lanes / w1_xyz to 8 rows (lane-alignment).  Coords stay
+    # f32: bf16 would quantize sub-voxel positions (the kernel consumes
+    # them as f32 anyway).
+    qpad = jnp.zeros((n, 8), jnp.float32).at[:, :3].set(
+        qxyz.astype(jnp.float32))
     wxyz = jnp.zeros((8, d1), jnp.float32).at[:3].set(
         w1_xyz.astype(jnp.float32))
     w4p = jnp.zeros((w4.shape[0], OUT_PAD), dt).at[:, :1].set(w4.astype(dt))
@@ -99,16 +110,19 @@ def fused_fc0_mlp(stacks: Sequence[jnp.ndarray], percep: jnp.ndarray,
         b4.astype(jnp.float32).reshape(1, -1))
 
     grid = (n // tile,)
-    row = lambda i: (i, 0)
+    row3 = lambda i: (0, i, 0)
     const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
 
     in_specs = (
-        [pl.BlockSpec((tile, s.shape[1]), row, memory_space=pltpu.VMEM)
-         for s in stacks]
-        + [pl.BlockSpec((tile, d1), row, memory_space=pltpu.VMEM),
-           pl.BlockSpec((tile, 8), row, memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
-           for w in w1_scales]
+        [pl.BlockSpec((7, tile, c), row3, memory_space=pltpu.VMEM)
+         for c in channels]
+        + [pl.BlockSpec((tile, d1), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((tile, 8), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((7, c, d1), const3, memory_space=pltpu.VMEM)
+           for c in channels]
         + [pl.BlockSpec((8, d1), const, memory_space=pltpu.VMEM),
            pl.BlockSpec((1, d1), const, memory_space=pltpu.VMEM),
            pl.BlockSpec(w2.shape, const, memory_space=pltpu.VMEM),
@@ -120,10 +134,10 @@ def fused_fc0_mlp(stacks: Sequence[jnp.ndarray], percep: jnp.ndarray,
            pl.BlockSpec((1, OUT_PAD), const, memory_space=pltpu.VMEM)])
 
     out = pl.pallas_call(
-        _kernel(n_scales),
+        _kernel(n_scales, channels),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, OUT_PAD), row,
+        out_specs=pl.BlockSpec((tile, OUT_PAD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, OUT_PAD), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile, d1), jnp.float32)],
@@ -131,7 +145,8 @@ def fused_fc0_mlp(stacks: Sequence[jnp.ndarray], percep: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*stacks, percep, qpad,
-      *[w.astype(dt) for w in w1_scales],
+      *[w.astype(dt).reshape(7, c, d1)
+        for w, c in zip(w1_scales, channels)],
       wxyz, b1.astype(jnp.float32).reshape(1, -1),
       w2.astype(dt), b2.astype(jnp.float32).reshape(1, -1),
       w3.astype(dt), b3.astype(jnp.float32).reshape(1, -1),

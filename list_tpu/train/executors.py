@@ -273,12 +273,15 @@ class LISTExecutor(BaseExecutor):
         if fast is None:
             fast = bool(getattr(self.config, 'fast_grid', 1)) \
                 and img.shape[0] == 1
+        # The dense path scans shape-uniform x-slabs, so it needs a slab
+        # size that divides vox_res; odd resolutions (e.g. 120, 125) fall
+        # back to the chunked decoder.
+        slab = next((s for s in ((8, 4, 2) if self.vox_res <= 192
+                                 else (4, 2)) if self.vox_res % s == 0), None)
+        if fast and slab is None:
+            fast = False
         if fast:
             from list_tpu.ops.dense_grid import dense_grid_sdf
-            # Smaller slabs above 192^3: the (n, 7*369) matmul operand and
-            # f32 fc0 scale with slab*R^2 (256^3 at slab=8 is a 2.7 GB
-            # operand per slab; 4 keeps peak HBM well under budget).
-            slab = 8 if self.vox_res <= 192 else 4
             # --use_pallas: fused fc0+MLP kernel (TPU only; the Mosaic
             # kernel has no CPU lowering — XLA fallback elsewhere).
             use_pallas = bool(getattr(self.config, 'use_pallas', 0)) \

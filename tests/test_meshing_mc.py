@@ -1,0 +1,121 @@
+"""Marching-cubes parity and extractor deviation bounds.
+
+The reference extracts meshes with table-based marching cubes
+(``mcubes.marching_cubes(-grid, 0)``, utils.py:172-182).  Production here
+is the C++ table-based MC in native/libmesh.cpp whose 256 case tables are
+generated from first principles; tests/mc_oracle.py is its NumPy twin.
+
+Covered:
+- C++ MC == NumPy oracle exactly (vertex sets, triangle counts) — a true
+  cross-language check since both build their tables independently.
+- Interior watertightness (every non-domain-boundary edge has even triangle
+  incidence).
+- The retained marching-tetrahedra extractor's metric deviation from MC is
+  bounded (it adds interior-diagonal vertices; ~0.2 voxel mean deviation).
+"""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from list_tpu import native
+from list_tpu.eval.metrics import eval_mesh
+from list_tpu.utils.meshio import Mesh
+from mc_oracle import marching_cubes_numpy
+
+R = 48
+BB_MIN, BB_MAX = -0.5, 0.5
+
+
+def _to_world(v):
+    return v / (R - 1) * (BB_MAX - BB_MIN) + BB_MIN
+
+
+def _grids():
+    ax = np.arange(R, dtype=np.float64)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing='ij')
+    c = (R - 1) / 2
+    sphere = np.sqrt((X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2) - 0.35 * R
+    box = np.maximum.reduce([abs(X - c), abs(Y - c), abs(Z - c)]) - 0.3 * R
+    rng = np.random.RandomState(7)
+    blob = sphere + 0.08 * R * (
+        np.sin(X * 0.4 + rng.rand()) * np.cos(Y * 0.3) * np.sin(Z * 0.5))
+    return {'sphere': sphere, 'box': box, 'blob': blob}
+
+
+def _edge_counts(tris):
+    cnt = Counter()
+    for a, b, c in tris:
+        for e in ((a, b), (b, c), (c, a)):
+            cnt[tuple(sorted(e))] += 1
+    return cnt
+
+
+@pytest.mark.parametrize('name', ['sphere', 'box', 'blob'])
+def test_cpp_mc_matches_numpy_oracle(name):
+    # f32-quantize first: the C++ entry reads float32, the oracle float64
+    grid = _grids()[name].astype(np.float32).astype(np.float64)
+    v1, t1 = native.marching_cubes(grid, 0.0)
+    v2, t2 = marching_cubes_numpy(grid, 0.0)
+    assert len(v1) == len(v2) and len(t1) == len(t2)
+    s1 = sorted(map(tuple, np.round(v1, 6)))
+    s2 = sorted(map(tuple, np.round(v2, 6)))
+    assert s1 == s2
+
+
+def test_mc_watertight_random_field():
+    """Interior watertightness on an adversarial random field: every mesh
+    edge not on the domain boundary has even triangle incidence (odd counts
+    = cracks; count-1 edges on the domain boundary are the expected open
+    surface where the field crosses the grid edge, as with mcubes)."""
+    rng = np.random.RandomState(3)
+    g = rng.randn(20, 20, 20)
+    v, t = native.marching_cubes(g, 0.0)
+    cnt = _edge_counts(t)
+    for (a, b), n in cnt.items():
+        if n % 2 == 0:
+            continue
+        pa, pb = v[a], v[b]
+        on_boundary = any(
+            (abs(pa[d]) < 1e-9 and abs(pb[d]) < 1e-9)
+            or (abs(pa[d] - 19) < 1e-9 and abs(pb[d] - 19) < 1e-9)
+            for d in range(3))
+        assert on_boundary, (a, b, n, pa, pb)
+
+
+@pytest.mark.parametrize('name', ['sphere', 'box', 'blob'])
+def test_mt_vs_mc_metric_deviation(name):
+    """The marching-tetrahedra extractor (kept for cross-checks) deviates
+    from the MC-family surface by ~0.2 voxel on interior-diagonal vertices;
+    bound that deviation inside the strictest eval threshold (0.005)."""
+    grid = _grids()[name]
+    v_mt, t_mt = native.marching_cubes(grid, 0.0, method='mt')
+    v_mc, t_mc = native.marching_cubes(grid, 0.0, method='mc')
+    assert len(v_mt) > 100 and len(v_mc) > 100
+
+    mesh_mt = Mesh(_to_world(v_mt), t_mt)
+    mesh_mc = Mesh(_to_world(v_mc), t_mc)
+    rng = np.random.RandomState(0)
+    out = eval_mesh(mesh_mt, mesh_mc, BB_MIN, BB_MAX, n_points=20000,
+                    rng=rng)
+    # <= 0.3 voxel mean surface deviation (worst case: box corners).  At
+    # this 48^3 test resolution 0.3 voxel = 0.0064 world units; at the
+    # production 128^3 grid the same voxel fraction is 0.0024 — inside the
+    # strictest 0.005 eval threshold.
+    voxel = (BB_MAX - BB_MIN) / (R - 1)
+    assert out['completeness'] < 0.3 * voxel, out
+    assert out['accuracy'] < 0.3 * voxel, out
+    assert out['iou'] > 0.97, out
+
+
+def test_mc_vertices_on_isosurface():
+    """MC vertices are exact zeros of the per-edge linear interpolant; on an
+    exact sphere distance field they sit within ~0.05 voxel of the surface
+    (pure trilinear curvature error — no interior-diagonal vertices)."""
+    grid = _grids()['sphere']
+    v, _ = native.marching_cubes(grid, 0.0)
+    c = (R - 1) / 2
+    dev = np.abs(np.linalg.norm(v - c, axis=1) - 0.35 * R)
+    assert dev.max() < 0.05
+    assert dev.mean() < 0.01

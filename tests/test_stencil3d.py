@@ -78,7 +78,11 @@ def test_voxel_encoder_cmajor_parity(rng):
     # packed mode round-trips the same values (packed features are bf16)
     import jax.numpy as jnp2
     from list_tpu.ops.sampling import pack_channels_last
-    f_pk, metas = enc_cm.apply(v, occ, False, True)
+    f_pk, metas, occ_pred = enc_cm.apply(v, occ, False, True)
+    # occ_pred is the pre-pack f32 sigmoid map
+    np.testing.assert_allclose(np.asarray(occ_pred),
+                               np.asarray(f_cl[0][..., 0]),
+                               atol=1e-4, rtol=1e-4)
     for a, p, m in zip(f_cl, f_pk, metas):
         ref, m2 = pack_channels_last(a, jnp2.bfloat16)
         assert m == m2

@@ -207,11 +207,28 @@ class LIST(nn.Module):
             enc = dict(enc)
             enc['feat_l2'] = [resize_bilinear_align_corners(f, ms, ms)
                               for f in enc['feat_l2']]
-            dec = nn.remat(LIST.decode_sdf) if self.remat else LIST.decode_sdf
-            bounds = np.linspace(0, query.shape[1], k + 1).astype(int)
-            sdf = jnp.concatenate(
-                [dec(self, query[:, b0:b1], enc)
-                 for b0, b1 in zip(bounds[:-1], bounds[1:])], axis=1)
+            # nn.scan over uniform chunks: ONE compiled chunk program
+            # instead of k unrolled copies (the unrolled loop was the
+            # train-step compile cliff — 277 s at batch 4; same fix as the
+            # dense-grid slab scan).  Ragged tails are zero-padded and
+            # sliced off (no cross-query ops in percep/decoder, so padding
+            # is numerically exact for the kept rows).
+            B, N = query.shape[:2]
+            nc = -(-N // k)  # ceil
+            if nc * k != N:
+                query = jnp.concatenate(
+                    [query, jnp.zeros((B, nc * k - N, 3), query.dtype)], 1)
+            qs = query.reshape(B, k, nc, 3)
+
+            def body(mdl, carry, qc):
+                return carry, LIST.decode_sdf(mdl, qc, enc)
+
+            if self.remat:
+                body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(body, variable_broadcast=['params', 'batch_stats'],
+                           split_rngs={}, in_axes=1, out_axes=1)
+            _, sdf = scan(self, None, qs)  # body sees (B, nc, 3) chunks
+            sdf = sdf.reshape(B, k * nc)[:, :N]
         else:
             sdf = self.decode_sdf(query, enc)
         return enc['occ_pred'], sdf

@@ -116,6 +116,14 @@ def _scale_w1_rows(channels: Sequence[int], scale_idx: int) -> np.ndarray:
                        for d in range(7) for ch in range(c)], np.int64)
 
 
+def _tap_w1_rows(channels: Sequence[int], scale_idx: int,
+                 tap: int) -> np.ndarray:
+    """fc_0 kernel rows of ONE displacement tap of one scale (C_s rows)."""
+    offset = sum(channels[:scale_idx])
+    c = channels[scale_idx]
+    return np.asarray([(offset + ch) * 7 + tap for ch in range(c)], np.int64)
+
+
 def _bilinear_flat(pm: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample of pm (H, W, C) at pixel coords xy (n, 2) already
     clipped to [0, W-1]x[0, H-1].
@@ -142,28 +150,33 @@ def _bilinear_flat(pm: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - wy) + bot * wy
 
 
+# x-shift signs of the three x-tap variants used by the coarse-projected
+# path: tap order (center, +x, -x) matching (W_center, W_x+, W_x-).
+XTAPS = ((0, None), (1, None), (-1, None))
+
+
 def _slab_x_plans(R: int, r_in: int, x0: int, S: int, delta: float,
-                  bb_min: float, bb_max: float):
+                  bb_min: float, bb_max: float, taps=TAPS):
     """Per-tap banded x-interpolation for one output slab.
 
-    Returns (lo, hi, L7) where ``vol[lo:hi]`` are the source x-rows the
-    slab needs across all 3 x-shifts and ``L7`` is the (7, S, hi-lo)
-    banded matrix with L7[t] @ rows == the x-lerp of tap t."""
+    Returns (lo, hi, L) where ``vol[lo:hi]`` are the source x-rows the
+    slab needs across all 3 x-shifts and ``L`` is the (len(taps), S, hi-lo)
+    banded matrix with L[t] @ rows == the x-lerp of tap t."""
     plans = {sgn: _axis_plan(R, r_in, norm_shift(delta * sgn, r_in),
                              bb_min, bb_max) for sgn in (-1, 0, 1)}
     lo = min(int(p[0][x0]) for p in plans.values())
     hi = max(int(p[1][x0 + S - 1]) for p in plans.values()) + 1
-    L7 = np.zeros((7, S, hi - lo), np.float32)
-    for t, (sgn, _) in enumerate(TAPS):
+    L = np.zeros((len(taps), S, hi - lo), np.float32)
+    for t, (sgn, _) in enumerate(taps):
         i0, i1, w = plans[sgn]
         for s in range(S):
-            L7[t, s, i0[x0 + s] - lo] += 1.0 - w[x0 + s]
-            L7[t, s, i1[x0 + s] - lo] += w[x0 + s]
-    return lo, hi, L7
+            L[t, s, i0[x0 + s] - lo] += 1.0 - w[x0 + s]
+            L[t, s, i1[x0 + s] - lo] += w[x0 + s]
+    return lo, hi, L
 
 
 def _scan_x_plans(R: int, r_in: int, S: int, delta: float,
-                  bb_min: float, bb_max: float):
+                  bb_min: float, bb_max: float, taps=TAPS):
     """Shape-uniform per-slab x-plans for the lax.scan formulation.
 
     All R//S slabs get the same source-row window width r_max (banded
@@ -172,14 +185,14 @@ def _scan_x_plans(R: int, r_in: int, S: int, delta: float,
     blow-up of unrolling 16-32 near-identical slab programs is what broke
     192^3/256^3 at the remote-compile helper.
 
-    Returns (los (nslabs,) int32, L7s (nslabs, 7, S, r_max) float32)."""
+    Returns (los (nslabs,) int32, Ls (nslabs, len(taps), S, r_max) f32)."""
     assert R % S == 0, (R, S)
     nslabs = R // S
-    raw = [_slab_x_plans(R, r_in, k * S, S, delta, bb_min, bb_max)
+    raw = [_slab_x_plans(R, r_in, k * S, S, delta, bb_min, bb_max, taps)
            for k in range(nslabs)]
     r_max = max(hi - lo for lo, hi, _ in raw)
     los = np.zeros(nslabs, np.int32)
-    L7s = np.zeros((nslabs, 7, S, r_max), np.float32)
+    L7s = np.zeros((nslabs, len(taps), S, r_max), np.float32)
     for k, (lo, hi, L7) in enumerate(raw):
         lo2 = min(lo, r_in - r_max)
         off = lo - lo2
@@ -191,7 +204,7 @@ def _scan_x_plans(R: int, r_in: int, S: int, delta: float,
 @functools.partial(jax.jit, static_argnames=(
     'vox_res', 'slab', 'delta', 'compute_dtype', 'bb_min', 'bb_max',
     'fuse_scales', 'use_pallas', 'pallas_interpret', 'scan_unroll',
-    'mesh', 'shard_axis'))
+    'mesh', 'shard_axis', 'coarse_proj'))
 def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    feat_l2: List[jnp.ndarray], trans_mat: jnp.ndarray,
                    vox_res: int, slab: int = 8, delta: float = 0.0722,
@@ -199,7 +212,8 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    bb_max: float = 0.5, fuse_scales: bool = True,
                    use_pallas: bool = False, pallas_interpret: bool = False,
                    scan_unroll: int = 1, mesh=None,
-                   shard_axis: Optional[str] = None) -> jnp.ndarray:
+                   shard_axis: Optional[str] = None,
+                   coarse_proj: int = 16) -> jnp.ndarray:
     """Dense (vox_res^3) SDF evaluation for batch size 1.
 
     decoder_params: the VoxelDecoder2 param subtree {fc_0, fc_1, fc_2,
@@ -229,15 +243,33 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     n_percep = feat_l2_channels(feat_l2)
     if use_pallas:
         fuse_scales = False
+
+    # ---- scale partition: coarse scales go through the projected path ----
+    # Scales whose source resolution is <= coarse_proj (default: the 16^3
+    # and 8^3 scales, which carry 1792 of the 2583 fc_0 voxel rows) never
+    # materialize (n, 7*C) tap stacks: their tiny volumes are projected
+    # through the fc_0 tap blocks FIRST (C -> 512 on the coarse grid), the
+    # seven axis-aligned taps are folded by linearity into three volumes
+    # (center/z/y taps collapse; the two x-taps stay separate for the
+    # banded x-lerp), and only those (r_in, R, R, 512) volumes are
+    # upsampled.  Exact: 1-D border-clamped interps act on space, the
+    # weight matmul on channels — they commute.
+    proj = tuple(si for si, f in enumerate(vox_feats)
+                 if f.shape[1] <= coarse_proj)
+    if len(proj) == len(vox_feats):
+        proj = ()  # degenerate tiny models: keep the plain path
+    kept = tuple(si for si in range(len(vox_feats)) if si not in proj)
+
+    def _rows(si):
+        return jnp.asarray(_scale_w1_rows(channels, si))
+
     if fuse_scales:
-        w1_vox = jnp.take(w1[:n_vox_rows],
-                          jnp.asarray(vox_w1_permutation(channels)),
-                          axis=0).astype(compute_dtype)
+        w1_vox = jnp.concatenate(
+            [jnp.take(w1[:n_vox_rows], _rows(si), axis=0)
+             for si in kept]).astype(compute_dtype)
     else:
-        w1_scale = [jnp.take(w1[:n_vox_rows],
-                             jnp.asarray(_scale_w1_rows(channels, s)),
-                             axis=0).astype(compute_dtype)
-                    for s in range(len(channels))]
+        w1_scale = [jnp.take(w1[:n_vox_rows], _rows(si),
+                             axis=0).astype(compute_dtype) for si in kept]
     w1_percep = w1[n_vox_rows:n_vox_rows + n_percep]
     w1_xyz = w1[n_vox_rows + n_percep:]
 
@@ -266,14 +298,46 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     S = slab
     n = S * R * R
     plan_los, plan_L7s = [], []
-    for f in vols:
-        los, L7s = _scan_x_plans(R, f.shape[1], S, delta, bb_min, bb_max)
+    for si in kept:
+        los, L7s = _scan_x_plans(R, vols[si].shape[1], S, delta,
+                                 bb_min, bb_max)
         plan_los.append(jnp.asarray(los))
         plan_L7s.append(jnp.asarray(L7s, compute_dtype))
     x0s = jnp.arange(0, R, S, dtype=jnp.int32)
 
+    # ---- coarse-projected volumes (once per decode, outside the scan) ----
+    proj_vols, proj_los, proj_L3s = [], [], []
+    for si in proj:
+        V = vols[si]
+        r_in = V.shape[0]
+        dz = norm_shift(delta, r_in)
+
+        def tap_w(t, si=si):
+            return w1[:n_vox_rows][
+                jnp.asarray(_tap_w1_rows(channels, si, t))].astype(
+                    compute_dtype)
+
+        def P(t, si=si, V=V):
+            return jnp.einsum('xyzc,co->xyzo', V, tap_w(t, si),
+                              preferred_element_type=jnp.float32).astype(
+                                  compute_dtype)
+
+        rz = lambda v, s: resample_axis(v, 2, R, s, bb_min, bb_max)
+        ry = lambda v, s: resample_axis(v, 1, R, s, bb_min, bb_max)
+        # TAPS order: t0 center, t1 z-, t2 z+, t3 y-, t4 y+, t5 x-, t6 x+
+        Tc = rz(P(0), 0.0) + rz(P(2), dz) + rz(P(1), -dz)
+        U0 = ry(Tc, 0.0) + ry(rz(P(4), 0.0), dz) + ry(rz(P(3), 0.0), -dz)
+        Uxp = ry(rz(P(6), 0.0), 0.0)
+        Uxm = ry(rz(P(5), 0.0), 0.0)
+        proj_vols.append(jnp.stack([U0, Uxp, Uxm]))  # XTAPS order (0,+1,-1)
+        los, L3s = _scan_x_plans(R, r_in, S, delta, bb_min, bb_max,
+                                 taps=XTAPS)
+        proj_los.append(jnp.asarray(los))
+        proj_L3s.append(jnp.asarray(L3s, compute_dtype))
+
     consts = {
-        'vols': vols, 'pm512': pm512, 'trans_mat': trans_mat,
+        'vols': [vols[si] for si in kept], 'pm512': pm512,
+        'trans_mat': trans_mat, 'proj_vols': proj_vols,
         'w1_xyz': w1_xyz, 'b1': b1, 'w2': w2, 'b2': b2, 'w3': w3, 'b3': b3,
         'w4': w4, 'b4': b4,
     }
@@ -283,7 +347,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         consts['w1_scale'] = w1_scale
 
     def slab_body(xs, C):
-        x0, los, L7s = xs
+        x0, los, L7s, plos, pL3s = xs
         vols_, pm512_, trans_mat_ = C['vols'], C['pm512'], C['trans_mat']
         w1_xyz_, b1_ = C['w1_xyz'], C['b1']
         w2_, b2_, w3_, b3_, w4_, b4_ = (C['w2'], C['b2'], C['w3'], C['b3'],
@@ -325,6 +389,19 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                                preferred_element_type=jnp.float32)
                 parts.append(A.astype(compute_dtype).reshape(n, 7 * ch))
 
+        # ---- coarse-projected scales: banded x-lerp of the three folded
+        # (r_in, R, R, 512) volumes — their fc_0 contribution directly ----
+        coarse = None
+        for pi, Ustack in enumerate(C['proj_vols']):
+            r_max = pL3s[pi].shape[-1]
+            band = jax.lax.dynamic_slice(
+                Ustack, (0, plos[pi], 0, 0, 0),
+                (3, r_max, R, R, Ustack.shape[-1]))
+            term = jnp.einsum('tsr,tryzo->syzo', pL3s[pi], band,
+                              preferred_element_type=jnp.float32)
+            term = term.reshape(n, -1)
+            coarse = term if coarse is None else coarse + term
+
         # ---- perceptual part (pre-projected 512-ch maps) -----------------
         world = grid_world_coords(R, x0, S, bb_min, bb_max)
         q = world[..., ::-1] * 2.0  # (2z, 2y, 2x)
@@ -337,23 +414,28 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
 
         if use_pallas:
             from list_tpu.ops.pallas.fused_fc0 import fused_fc0_mlp
+            p512 = percep.astype(jnp.float32)
+            if coarse is not None:
+                p512 = p512 + coarse
             sdf = fused_fc0_mlp(
-                parts, percep.astype(compute_dtype), q[0],
+                parts, p512.astype(compute_dtype), q[0],
                 C['w1_scale'], w1_xyz_, b1_,
                 w2_, b2_, w3_, b3_, w4_, b4_,
                 tile=min(1024, n), interpret=pallas_interpret)
             return sdf.reshape(S, R, R)
 
         if fuse_scales:
-            stack = jnp.concatenate(parts, axis=-1)  # (n, 7*sum(C))
+            stack = jnp.concatenate(parts, axis=-1)  # (n, 7*sum(C_kept))
             fc0 = jnp.dot(stack, C['w1_vox'],
                           preferred_element_type=jnp.float32)
         else:
             fc0 = None
-            for si, part in enumerate(parts):
-                p = jnp.dot(part, C['w1_scale'][si],
+            for ki, part in enumerate(parts):
+                p = jnp.dot(part, C['w1_scale'][ki],
                             preferred_element_type=jnp.float32)
                 fc0 = p if fc0 is None else fc0 + p
+        if coarse is not None:
+            fc0 = fc0 + coarse
         fc0 = fc0 + percep.astype(jnp.float32)
         fc0 = fc0 + q[0].astype(jnp.float32) @ w1_xyz_ + b1_
 
@@ -368,7 +450,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                       preferred_element_type=jnp.float32) + b4_
         return sdf.reshape(S, R, R)
 
-    xss = (x0s, plan_los, plan_L7s)
+    xss = (x0s, plan_los, plan_L7s, proj_los, proj_L3s)
 
     def scan_slabs(xss_, C):
         _, slabs = jax.lax.scan(lambda carry, xs: (None, slab_body(xs, C)),

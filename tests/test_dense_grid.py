@@ -92,3 +92,31 @@ def test_dense_bf16_close(tiny_setup):
     # sign agreement (what matters for the extracted surface)
     agree = (np.sign(sdf_dense) == np.sign(sdf_general)).mean()
     assert agree > 0.99
+
+
+def test_dense_coarse_projected_matches(tiny_setup):
+    """The coarse-projected path (fc_0 tap blocks folded into the coarse
+    scales before upsampling) is an exact linear reordering: f32 results
+    match the plain stacked path and the general sampler.
+
+    The tiny model's scales sit at 16/16/8/4/2; coarse_proj=8 routes the
+    three coarsest through the projected path (production: 16 routes the
+    8^3/16^3 scales)."""
+    model, vars_, enc, R = tiny_setup
+    grid_pts = create_grid_points_from_bounds(-0.5, 0.5, R).astype(np.float32)
+    q = jnp.asarray(grid_pts[None])
+    sdf_general = np.asarray(
+        model.apply(vars_, q, enc, method=model.decode_sdf)).reshape(R, R, R)
+    args = (vars_['params']['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
+            enc['trans_mat'], R)
+    plain = np.asarray(dense_grid_sdf(
+        *args, slab=4, compute_dtype=jnp.float32, coarse_proj=0))
+    projd = np.asarray(dense_grid_sdf(
+        *args, slab=4, compute_dtype=jnp.float32, coarse_proj=8))
+    np.testing.assert_allclose(projd, plain, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(projd, sdf_general, atol=2e-4, rtol=1e-3)
+    # pallas head variant (interpret) with the projected path
+    pal = np.asarray(dense_grid_sdf(
+        *args, slab=4, compute_dtype=jnp.float32, coarse_proj=8,
+        use_pallas=True, pallas_interpret=True))
+    np.testing.assert_allclose(pal, plain, atol=2e-4, rtol=1e-3)

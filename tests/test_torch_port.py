@@ -143,3 +143,70 @@ def test_apply_resnet_ckpt_end_to_end(rng, tmp_path):
             sd['bn1.running_mean'])
     # untouched submodule survives
     assert 'other' in state.params
+
+
+def test_full_width_splice_and_forward():
+    """Full-size (real ResNet18 widths, 224^2) splice: a synthetic
+    torchvision-shaped state_dict (tools/make_resnet_npz.py produces the
+    real one; no egress here) ports into the default ResEncoder, the ported
+    tensors land where they should, and the spliced encoder runs forward.
+    Reference: network/modules.py:1027-1074, train.py:187-210."""
+    import jax
+    import jax.numpy as jnp
+    from list_tpu.models.resnet import ResEncoder
+    from list_tpu.utils.torch_port import resencoder_from_torch
+
+    rng = np.random.RandomState(0)
+
+    def t(*shape):
+        return (rng.randn(*shape) * 0.05).astype(np.float32)
+
+    sd = {'conv1.weight': t(64, 3, 7, 7),
+          'bn1.weight': t(64), 'bn1.bias': t(64),
+          'bn1.running_mean': t(64),
+          'bn1.running_var': np.abs(t(64)) + 1.0,
+          'fc.weight': t(1000, 512), 'fc.bias': t(1000)}
+    widths = {1: (64, 64), 2: (64, 128), 3: (128, 256), 4: (256, 512)}
+    for li, (cin, cout) in widths.items():
+        for bi in range(2):
+            src = f'layer{li}.{bi}'
+            i = cin if bi == 0 else cout
+            sd[f'{src}.conv1.weight'] = t(cout, i, 3, 3)
+            sd[f'{src}.conv2.weight'] = t(cout, cout, 3, 3)
+            for bn in ('bn1', 'bn2'):
+                sd[f'{src}.{bn}.weight'] = t(cout)
+                sd[f'{src}.{bn}.bias'] = t(cout)
+                sd[f'{src}.{bn}.running_mean'] = t(cout)
+                sd[f'{src}.{bn}.running_var'] = np.abs(t(cout)) + 1.0
+            if li > 1 and bi == 0:
+                sd[f'{src}.downsample.0.weight'] = t(cout, i, 1, 1)
+                sd[f'{src}.downsample.1.weight'] = t(cout)
+                sd[f'{src}.downsample.1.bias'] = t(cout)
+                sd[f'{src}.downsample.1.running_mean'] = t(cout)
+                sd[f'{src}.downsample.1.running_var'] = (
+                    np.abs(t(cout)) + 1.0)
+
+    enc = ResEncoder()  # full default widths
+    img = jnp.asarray(rng.rand(1, 224, 224, 3), jnp.float32)
+    v = enc.init(jax.random.PRNGKey(0), img)
+    params, stats = resencoder_from_torch(
+        sd, dict(v['params']), dict(v['batch_stats']))
+    # ported leaves actually landed (layout-converted)
+    np.testing.assert_allclose(
+        params['layer3_0']['conv1']['kernel'],
+        np.transpose(sd['layer3.0.conv1.weight'], (2, 3, 1, 0)))
+    np.testing.assert_allclose(stats['layer4_1']['bn2']['var'],
+                               sd['layer4.1.bn2.running_var'])
+    np.testing.assert_allclose(params['fc']['kernel'],
+                               sd['fc.weight'].T)
+    # conv1 keeps OUR init (the reference also re-makes conv1 as stride-1)
+    np.testing.assert_allclose(params['conv1']['kernel'],
+                               v['params']['conv1']['kernel'])
+
+    featvec, pyramid = enc.apply(
+        {'params': params, 'batch_stats': stats}, img)
+    assert featvec.shape == (1, 128)
+    assert [tuple(f.shape) for f in pyramid] == [
+        (1, 224, 224, 64), (1, 112, 112, 64), (1, 56, 56, 128),
+        (1, 28, 28, 256), (1, 14, 14, 512)]
+    assert np.isfinite(np.asarray(featvec)).all()

@@ -161,8 +161,7 @@ def main():
         extras['encode_s'] = round(_t(lambda: _fetch(
             ex._encode(ex.state, jimg)['trans_mat'])), 4)
         from list_tpu.ops.dense_grid import dense_grid_sdf
-        use_pallas = jax.devices()[0].platform != 'cpu'
-        dkw = dict(slab=8, scan_unroll=2, use_pallas=use_pallas)
+        dkw = dict(slab=8, scan_unroll=2)  # XLA head (production default)
         dargs = (ex.state.params['sdf_decoder'], enc['vox_feat'],
                  enc['feat_l2'], enc['trans_mat'], 128)
         decode_s = _t(lambda: _fetch(
@@ -182,8 +181,7 @@ def main():
     try:
         from list_tpu.ops.dense_grid import dense_grid_sdf
         enc = ex._encode(ex.state, jnp.asarray(img))
-        kw = dict(slab=4, scan_unroll=2,
-                  use_pallas=jax.devices()[0].platform != 'cpu')
+        kw = dict(slab=4, scan_unroll=2)  # XLA head (production default)
         _fetch(dense_grid_sdf(ex.state.params['sdf_decoder'],
                               enc['vox_feat'], enc['feat_l2'],
                               enc['trans_mat'], 256, **kw))

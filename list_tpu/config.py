@@ -140,10 +140,13 @@ def _build_parser() -> ArgumentParser:
                         help='Use the dense-grid gather-free SDF decode path '
                              'at inference (1) or the reference-style chunked '
                              'gather loop (0).')
-    parser.add_argument('--use_pallas', type=int, default=1,
+    parser.add_argument('--use_pallas', type=int, default=0,
                         help='Fused fc0+MLP Pallas kernel for the dense SDF '
-                             'decode on TPU (1; measured faster than the XLA '
-                             'path on v5e) or the pure-XLA path (0). '
+                             'decode on TPU (1) or the pure-XLA path (0, '
+                             'default). Since the round-3 coarse-projected '
+                             'restructure the XLA head is faster on v5e '
+                             '(0.23 vs 0.41 s per 128^3); the kernel '
+                             'remains available and parity-tested. '
                              'Non-TPU backends always use XLA.')
     parser.add_argument('--remat', type=int, default=1,
                         help='Rematerialize the voxel encoder in training to '

@@ -336,7 +336,8 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         proj_L3s.append(jnp.asarray(L3s, compute_dtype))
 
     consts = {
-        'vols': [vols[si] for si in kept], 'pm512': pm512,
+        'vols': [vols[si] for si in kept],
+        'pm512': pm512,
         'trans_mat': trans_mat, 'proj_vols': proj_vols,
         'w1_xyz': w1_xyz, 'b1': b1, 'w2': w2, 'b2': b2, 'w3': w3, 'b3': b3,
         'w4': w4, 'b4': b4,
@@ -390,17 +391,25 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                 parts.append(A.astype(compute_dtype).reshape(n, 7 * ch))
 
         # ---- coarse-projected scales: banded x-lerp of the three folded
-        # (r_in, R, R, 512) volumes — their fc_0 contribution directly ----
+        # (r_in, R, R, 512) volumes — their fc_0 contribution directly.
+        # All projected scales share one einsum: concatenating the source-
+        # row axis with a block-stacked banded matrix sums their
+        # contributions inside the matmul (single f32 output per slab). ----
         coarse = None
-        for pi, Ustack in enumerate(C['proj_vols']):
-            r_max = pL3s[pi].shape[-1]
-            band = jax.lax.dynamic_slice(
-                Ustack, (0, plos[pi], 0, 0, 0),
-                (3, r_max, R, R, Ustack.shape[-1]))
-            term = jnp.einsum('tsr,tryzo->syzo', pL3s[pi], band,
-                              preferred_element_type=jnp.float32)
-            term = term.reshape(n, -1)
-            coarse = term if coarse is None else coarse + term
+        if C['proj_vols']:
+            bands, Ls = [], []
+            for pi, Ustack in enumerate(C['proj_vols']):
+                r_max = pL3s[pi].shape[-1]
+                bands.append(jax.lax.dynamic_slice(
+                    Ustack, (0, plos[pi], 0, 0, 0),
+                    (3, r_max, R, R, Ustack.shape[-1])))
+                Ls.append(pL3s[pi])
+            band = (bands[0] if len(bands) == 1
+                    else jnp.concatenate(bands, axis=1))
+            L = Ls[0] if len(Ls) == 1 else jnp.concatenate(Ls, axis=-1)
+            coarse = jnp.einsum('tsr,tryzo->syzo', L, band,
+                                preferred_element_type=jnp.float32
+                                ).reshape(n, -1)
 
         # ---- perceptual part (pre-projected 512-ch maps) -----------------
         world = grid_world_coords(R, x0, S, bb_min, bb_max)

@@ -161,7 +161,7 @@ def main():
         extras['encode_s'] = round(_t(lambda: _fetch(
             ex._encode(ex.state, jimg)['trans_mat'])), 4)
         from list_tpu.ops.dense_grid import dense_grid_sdf
-        dkw = dict(slab=8, scan_unroll=2)  # XLA head (production default)
+        dkw = dict(slab=16, scan_unroll=2)  # XLA head (production default)
         dargs = (ex.state.params['sdf_decoder'], enc['vox_feat'],
                  enc['feat_l2'], enc['trans_mat'], 128)
         decode_s = _t(lambda: _fetch(

@@ -26,6 +26,15 @@ linspace(bb_min, bb_max, R) in 'ij' order.  This module exploits that:
    Projecting the 137x137x1024 pyramid through the first-layer weights
    ONCE (19.7 GFLOP) halves the per-query gather traffic to 512 channels.
 
+3. **Coarse-projected scales** (round 3).  The 8^3/16^3 scales carry 1792
+   of the 2583 fc_0 voxel rows but almost no information: their fc_0 tap
+   blocks are folded into the TINY source volumes first (C -> 512 on the
+   coarse grid), the seven axis-aligned taps collapse by linearity into
+   three volumes (1-D interps act on space, the weight matmul on channels
+   — they commute), and only those are upsampled.  Removes ~70% of the
+   stack bytes and 3.3x of the fc_0 FLOPs, exactly.  On-chip: 0.32 ->
+   0.21 s per 128^3 decode (slab=16).
+
 Numerical parity with the general path (ops.sampling.grid_sample_3d border/
 align_corners semantics, including edge clamping) is enforced by
 tests/test_dense_grid.py, including non-default bounding boxes.

@@ -221,18 +221,9 @@ def pack_cmajor(f: jnp.ndarray, dtype=None):
 def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
                        ) -> jnp.ndarray:
     """Trilinear border/align-corners sample of one packed scale.
-    packed: (B, M, g*C); pd: (B, Np, 3) normalized coords -> (B, Np, C).
-
-    The two x-corners of every sample live g consecutive lane slots apart
-    (same packed row in (g-1)/g of cases, the next row otherwise), so each
-    (z, y) corner pair is fetched with ONE two-row gather slice and the
-    x-lerp folds into the slot-selection einsum — 4 gathers per trilinear
-    sample instead of 8.  The train step is gather-latency bound (r3
-    roofline: 459 GB at 169 GB/s, 0.4% MFU), so descriptor count is the
-    cost driver, not bytes."""
+    packed: (B, M, g*C); pd: (B, Np, 3) normalized coords -> (B, Np, C)."""
     D, H, W, C, g = meta
     B, Np, _ = pd.shape
-    M = packed.shape[1]
     x = _unnormalize(pd[..., 0], W, True)
     y = _unnormalize(pd[..., 1], H, True)
     z = _unnormalize(pd[..., 2], D, True)
@@ -240,55 +231,23 @@ def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
     y0, y1, wy, _, _ = _corner_weights(y, H, 'border')
     z0, z1, wz, _, _ = _corner_weights(z, D, 'border')
 
-    wxe = wx[..., None]
-    wye = wy[..., None]
-    wze = wz[..., None]
+    def corner(zi, yi, xi):
+        flat = (zi * H + yi) * W + xi
+        rows = jnp.take_along_axis(packed, (flat // g)[..., None], axis=1)
+        rows = rows.reshape(B, Np, g, C)
+        oh = jax.nn.one_hot(flat % g, g, dtype=rows.dtype)
+        return jnp.einsum('bng,bngc->bnc', oh, rows)
 
-    if M < 2:
-        def corner(zi, yi, xi):
-            flat = (zi * H + yi) * W + xi
-            rows = jnp.take_along_axis(packed, (flat // g)[..., None],
-                                       axis=1)
-            rows = rows.reshape(B, Np, g, C)
-            oh = jax.nn.one_hot(flat % g, g, dtype=rows.dtype)
-            return jnp.einsum('bng,bngc->bnc', oh, rows)
-
-        def plane(zi):
-            top = corner(zi, y0, x0) * (1 - wxe) + corner(zi, y0, x1) * wxe
-            bot = corner(zi, y1, x0) * (1 - wxe) + corner(zi, y1, x1) * wxe
-            return top * (1 - wye) + bot * wye
-
-        return plane(z0) * (1 - wze) + plane(z1) * wze
-
-    gd = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(),
-        start_index_map=(0,))
-
-    def gather2(op, starts):
-        # (M, gC), (Np, 1) -> (Np, 2, gC); 'clip' clamps starts to M-2
-        return jax.lax.gather(op, starts, gd,
-                              slice_sizes=(2, g * C), mode='clip')
-
-    def corner_pair(zi, yi):
-        base = (zi * H + yi) * W
-        flat0 = base + x0
-        flat1 = base + x1
-        r0 = flat0 // g
-        # mirror the gather's clip so slot offsets stay consistent
-        r_start = jnp.minimum(r0, M - 2)
-        s0 = flat0 - r_start * g
-        s1 = flat1 - r_start * g
-        rows2 = jax.vmap(gather2)(packed, r_start[..., None])
-        rows2 = rows2.reshape(B, Np, 2 * g, C)
-        oh = (jax.nn.one_hot(s0, 2 * g, dtype=rows2.dtype) * (1 - wxe)
-              + jax.nn.one_hot(s1, 2 * g, dtype=rows2.dtype) * wxe)
-        return jnp.einsum('bng,bngc->bnc', oh, rows2)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    wz = wz[..., None]
 
     def plane(zi):
-        return (corner_pair(zi, y0) * (1 - wye)
-                + corner_pair(zi, y1) * wye)
+        top = corner(zi, y0, x0) * (1 - wx) + corner(zi, y0, x1) * wx
+        bot = corner(zi, y1, x0) * (1 - wx) + corner(zi, y1, x1) * wx
+        return top * (1 - wy) + bot * wy
 
-    return plane(z0) * (1 - wze) + plane(z1) * wze
+    return plane(z0) * (1 - wz) + plane(z1) * wz
 
 
 def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,

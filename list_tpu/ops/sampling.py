@@ -221,7 +221,14 @@ def pack_cmajor(f: jnp.ndarray, dtype=None):
 def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
                        ) -> jnp.ndarray:
     """Trilinear border/align-corners sample of one packed scale.
-    packed: (B, M, g*C); pd: (B, Np, 3) normalized coords -> (B, Np, C)."""
+    packed: (B, M, g*C); pd: (B, Np, 3) normalized coords -> (B, Np, C).
+
+    The four (y, x) corners of each z-plane are fetched in ONE batched
+    gather (2 gather ops per trilinear sample instead of 8): the r3 trace
+    showed ~1 s/step of fixed per-gather-op index copies/slices — the
+    train step is gather-latency bound (459 GB at 169 GB/s, 0.4% MFU), so
+    op count, not bytes, is the cost driver.  Corner batching keeps the
+    peak gathered intermediate at (B, 4*Np, g*C)."""
     D, H, W, C, g = meta
     B, Np, _ = pd.shape
     x = _unnormalize(pd[..., 0], W, True)
@@ -231,20 +238,25 @@ def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
     y0, y1, wy, _, _ = _corner_weights(y, H, 'border')
     z0, z1, wz, _, _ = _corner_weights(z, D, 'border')
 
-    def corner(zi, yi, xi):
-        flat = (zi * H + yi) * W + xi
-        rows = jnp.take_along_axis(packed, (flat // g)[..., None], axis=1)
-        rows = rows.reshape(B, Np, g, C)
-        oh = jax.nn.one_hot(flat % g, g, dtype=rows.dtype)
-        return jnp.einsum('bng,bngc->bnc', oh, rows)
-
     wx = wx[..., None]
     wy = wy[..., None]
     wz = wz[..., None]
 
     def plane(zi):
-        top = corner(zi, y0, x0) * (1 - wx) + corner(zi, y0, x1) * wx
-        bot = corner(zi, y1, x0) * (1 - wx) + corner(zi, y1, x1) * wx
+        base = zi * H
+        flats = jnp.stack([(base + y0) * W + x0, (base + y0) * W + x1,
+                           (base + y1) * W + x0, (base + y1) * W + x1],
+                          axis=1)  # (B, 4, Np)
+        rows = jnp.take_along_axis(
+            packed, (flats // g).reshape(B, 4 * Np, 1), axis=1)
+        rows = rows.reshape(B, 4, Np, g, C)
+        if g == 1:  # unfolded scale (C == 128): the row IS the point
+            vals = rows[:, :, :, 0]
+        else:
+            oh = jax.nn.one_hot(flats % g, g, dtype=rows.dtype)
+            vals = jnp.einsum('bkng,bkngc->bknc', oh, rows)
+        top = vals[:, 0] * (1 - wx) + vals[:, 1] * wx
+        bot = vals[:, 2] * (1 - wx) + vals[:, 3] * wx
         return top * (1 - wy) + bot * wy
 
     return plane(z0) * (1 - wz) + plane(z1) * wz

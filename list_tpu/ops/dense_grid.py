@@ -150,12 +150,13 @@ def _bilinear_flat(pm: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     y1 = jnp.minimum(y0 + 1, H - 1)
     wx = (x - x0)[:, None].astype(pm.dtype)
     wy = (y - y0)[:, None].astype(pm.dtype)
-    v00 = jnp.take(flat, y0 * W + x0, axis=0)
-    v01 = jnp.take(flat, y0 * W + x1, axis=0)
-    v10 = jnp.take(flat, y1 * W + x0, axis=0)
-    v11 = jnp.take(flat, y1 * W + x1, axis=0)
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
+    n = x0.shape[0]
+    # one batched 4-corner gather (per-gather fixed costs dominate on TPU)
+    idx = jnp.concatenate([y0 * W + x0, y0 * W + x1,
+                           y1 * W + x0, y1 * W + x1])
+    vals = jnp.take(flat, idx, axis=0).reshape(4, n, -1)
+    top = vals[0] * (1 - wx) + vals[1] * wx
+    bot = vals[2] * (1 - wx) + vals[3] * wx
     return top * (1 - wy) + bot * wy
 
 

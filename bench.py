@@ -84,7 +84,12 @@ def main():
                                   sample_point_density=32768,
                                   sample_distribution=[1.0],
                                   # 2 chunks fit at batch<=4 and halve the
-                                  # (huge) train-step compile time
+                                  # (huge) train-step compile time; at
+                                  # batch<=4 the chunk activations also fit
+                                  # live, so skip decode remat (the remat
+                                  # backward re-streams every gather index
+                                  # and the step is index-streaming bound)
+                                  remat_decode=0 if bsz <= 4 else -1,
                                   train_query_chunks=2)
             bmodel = LIST.from_config(bcfg)  # --remat default applies
             bex = LISTExecutor(bcfg, bmodel)

@@ -151,6 +151,14 @@ def _build_parser() -> ArgumentParser:
     parser.add_argument('--remat', type=int, default=1,
                         help='Rematerialize the voxel encoder in training to '
                              'trade FLOPs for HBM.')
+    parser.add_argument('--remat_decode', type=int, default=-1,
+                        help='Rematerialize the chunked training decode '
+                             '(1) or keep its activations live (0); -1 '
+                             'follows --remat. The decode backward under '
+                             'remat re-streams the whole gather-index '
+                             'fleet, and the step is index-streaming '
+                             'bound; 0 is faster wherever the ~2.5 GB of '
+                             'chunk activations fit (batch <= 4).')
     parser.add_argument('--train_query_chunks', type=int, default=4,
                         help='Split the training query axis into this many '
                              'rematerialized chunks (numerically exact; the '

@@ -96,6 +96,13 @@ class LIST(nn.Module):
     # dtype of the fold-packed training features (None = f32; bf16 halves
     # the pack-transpose copy XLA materializes lane-padded).
     vox_packed_dtype: Optional[str] = 'bfloat16'
+    # Decode-chunk remat override: None follows ``remat``.  The decode
+    # backward re-streams the whole 6-scale x 8-corner gather-index fleet
+    # under remat, and the train step is index-streaming-bound (~34M
+    # indices/s measured) — at batch 4 the chunk activations fit in HBM,
+    # so skipping decode remat trades ~2.5 GB for a third of the index
+    # traffic.  Batch 8 still needs it (250 MB headroom).
+    remat_decode: Optional[bool] = None
     # Split the training query axis into this many rematerialized chunks:
     # the reference holds the full (B, 3610, N) first-layer activation live
     # (modules.py:276); at batch 8 x 32,441 queries that is ~3.8 GB f32 and
@@ -105,11 +112,13 @@ class LIST(nn.Module):
 
     @classmethod
     def from_config(cls, config) -> 'LIST':
+        rd = int(getattr(config, 'remat_decode', -1))
         return cls(vox_res=config.vox_res, bb_min=config.bb_min,
                    bb_max=config.bb_max, point_feat=tuple(config.point_feat),
                    point_degree=tuple(config.point_degree),
                    im_enc_layers=tuple(config.im_enc_layers),
                    remat=bool(getattr(config, 'remat', 0)),
+                   remat_decode=(None if rd < 0 else bool(rd)),
                    train_query_chunks=int(
                        getattr(config, 'train_query_chunks', 4)))
 
@@ -223,7 +232,9 @@ class LIST(nn.Module):
             def body(mdl, carry, qc):
                 return carry, LIST.decode_sdf(mdl, qc, enc)
 
-            if self.remat:
+            dec_remat = (self.remat if self.remat_decode is None
+                         else self.remat_decode)
+            if dec_remat:
                 body = nn.remat(body, prevent_cse=False)
             scan = nn.scan(body, variable_broadcast=['params', 'batch_stats'],
                            split_rngs={}, in_axes=1, out_axes=1)

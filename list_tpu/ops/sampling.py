@@ -244,14 +244,25 @@ def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
     wy = wy[..., None]
     wz = wz[..., None]
 
+    M = packed.shape[1]
+
     def plane(zi):
         base = zi * H
         flats = jnp.stack([(base + y0) * W + x0, (base + y0) * W + x1,
                            (base + y1) * W + x0, (base + y1) * W + x1],
                           axis=1)  # (B, 4, Np)
-        rows = jnp.take_along_axis(
-            packed, (flats // g).reshape(B, 4 * Np, 1), axis=1)
-        rows = rows.reshape(B, 4, Np, g, C)
+        if M <= 1024:
+            # tiny scale (8^3): replace the gather with a dense one-hot
+            # MXU matmul — zero gather-index traffic, and the backward is
+            # a transposed matmul instead of a scatter (collision-free).
+            # Exact: one nonzero per row selects the same packed row.
+            ohr = jax.nn.one_hot(flats // g, M, dtype=packed.dtype)
+            rows = jnp.einsum('bknm,bmc->bknc', ohr, packed)
+            rows = rows.reshape(B, 4, Np, g, C)
+        else:
+            rows = jnp.take_along_axis(
+                packed, (flats // g).reshape(B, 4 * Np, 1), axis=1)
+            rows = rows.reshape(B, 4, Np, g, C)
         if g == 1:  # unfolded scale (C == 128): the row IS the point
             vals = rows[:, :, :, 0]
         else:

@@ -69,14 +69,15 @@ def grid_sample_2d(image: jnp.ndarray, grid: jnp.ndarray, *,
     x0, x1, wx, mx0, mx1 = _corner_weights(x, W, padding_mode)
     y0, y1, wy, my0, my1 = _corner_weights(y, H, padding_mode)
 
-    flat = image.reshape(B, H * W, C)
     N = x0.shape[1]
 
-    # all 4 corners in ONE batched gather (gather ops carry ~ms-scale fixed
-    # index-copy costs on TPU; see the r3 train-step trace)
+    # all 4 corners in ONE flat global-index take ((B*H*W, C) operand):
+    # one gather op, and no take_along_axis layout-transposing index
+    # copies (the r3 train-step trace's dominant fixed cost)
     idx = jnp.stack([y0 * W + x0, y0 * W + x1,
                      y1 * W + x0, y1 * W + x1], axis=1)  # (B, 4, N)
-    vals = jnp.take_along_axis(flat, idx.reshape(B, 4 * N, 1), axis=1)
+    gidx = jnp.arange(B, dtype=idx.dtype)[:, None, None] * (H * W) + idx
+    vals = jnp.take(image.reshape(B * H * W, C), gidx.reshape(-1), axis=0)
     vals = vals.reshape(B, 4, N, C)
     v00, v01, v10, v11 = (vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3])
 
@@ -260,8 +261,13 @@ def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
             rows = jnp.einsum('bknm,bmc->bknc', ohr, packed)
             rows = rows.reshape(B, 4, Np, g, C)
         else:
-            rows = jnp.take_along_axis(
-                packed, (flats // g).reshape(B, 4 * Np, 1), axis=1)
+            # flat global-index take over (B*M, gC): avoids
+            # take_along_axis's layout-transposing s32 index copies
+            # (measured 1.6x faster on the dense path, CLAUDE.md)
+            gidx = (jnp.arange(B, dtype=flats.dtype)[:, None, None] * M
+                    + flats // g)
+            rows = jnp.take(packed.reshape(B * M, g * C),
+                            gidx.reshape(-1), axis=0)
             rows = rows.reshape(B, 4, Np, g, C)
         if g == 1:  # unfolded scale (C == 128): the row IS the point
             vals = rows[:, :, :, 0]

@@ -252,23 +252,16 @@ def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
         flats = jnp.stack([(base + y0) * W + x0, (base + y0) * W + x1,
                            (base + y1) * W + x0, (base + y1) * W + x1],
                           axis=1)  # (B, 4, Np)
-        if M <= 1024:
-            # tiny scale (8^3): replace the gather with a dense one-hot
-            # MXU matmul — zero gather-index traffic, and the backward is
-            # a transposed matmul instead of a scatter (collision-free).
-            # Exact: one nonzero per row selects the same packed row.
-            ohr = jax.nn.one_hot(flats // g, M, dtype=packed.dtype)
-            rows = jnp.einsum('bknm,bmc->bknc', ohr, packed)
-            rows = rows.reshape(B, 4, Np, g, C)
-        else:
-            # flat global-index take over (B*M, gC): avoids
-            # take_along_axis's layout-transposing s32 index copies
-            # (measured 1.6x faster on the dense path, CLAUDE.md)
-            gidx = (jnp.arange(B, dtype=flats.dtype)[:, None, None] * M
-                    + flats // g)
-            rows = jnp.take(packed.reshape(B * M, g * C),
-                            gidx.reshape(-1), axis=0)
-            rows = rows.reshape(B, 4, Np, g, C)
+        # flat global-index take over (B*M, gC): avoids take_along_axis's
+        # layout-transposing s32 index copies (measured 1.6x faster on the
+        # dense path, CLAUDE.md).  A dense one-hot-matmul variant for the
+        # 8^3 scale was tried and rejected: its (B, 4, 7N, 512) one-hot
+        # costs ~2 GB peak HBM and OOMs the no-decode-remat batch-4 step.
+        gidx = (jnp.arange(B, dtype=flats.dtype)[:, None, None] * M
+                + flats // g)
+        rows = jnp.take(packed.reshape(B * M, g * C),
+                        gidx.reshape(-1), axis=0)
+        rows = rows.reshape(B, 4, Np, g, C)
         if g == 1:  # unfolded scale (C == 128): the row IS the point
             vals = rows[:, :, :, 0]
         else:

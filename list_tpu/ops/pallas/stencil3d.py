@@ -28,6 +28,7 @@ enforced by tests/test_stencil3d.py in interpret mode.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -37,6 +38,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+
+# dk backward: contract (H, W) jointly on the MXU (default) vs the
+# per-output-channel VPU multiply-reduce loop (LIST_TPU_DK_MXU=0).
+_DK_MXU = os.environ.get('LIST_TPU_DK_MXU', '1') != '0'
 
 
 def _shift_w(x, dx):
@@ -91,15 +96,25 @@ def _dk_kernel(x0_ref, x1_ref, x2_ref, dy_ref, o_ref, stack):
                 t = dy * 3 + (dx + 1)
                 sl = x_ref[0, :, 0, dy:dy + H, :]
                 stack[t * ci:(t + 1) * ci] = _shift_w(sl, dx)
-        # Mosaic matmul can't contract (H, W) jointly (no lane-crossing
-        # reshapes either); per output channel, multiply-reduce on the VPU.
-        # All intermediates stay rank>=2 (rank-1 crashes layout inference).
         st = stack[:]
-        cols = []
-        for c in range(g.shape[0]):
-            s2 = jnp.sum(st * g[c][None], axis=2)          # (9Ci, H)
-            cols.append(jnp.sum(s2, axis=1, keepdims=True))  # (9Ci, 1)
-        o_ref[dz] = o_ref[dz] + jnp.concatenate(cols, axis=1)
+        if _DK_MXU:
+            # MXU path: contract W (lanes) with H as a batch dim — Mosaic
+            # only legalizes single contracting dims — then reduce the H
+            # batch on the VPU.  Replaces the per-output-channel VPU loop
+            # (the dk call was 122 ms of the batch-4 step with the loop).
+            p = jax.lax.dot_general(
+                jnp.transpose(st, (1, 0, 2)), jnp.transpose(g, (1, 0, 2)),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (H, 9Ci, Co)
+            o_ref[dz] = o_ref[dz] + jnp.sum(p, axis=0)
+        else:
+            # Per output channel, multiply-reduce on the VPU.  All
+            # intermediates stay rank>=2 (rank-1 crashes layout inference).
+            cols = []
+            for c in range(g.shape[0]):
+                s2 = jnp.sum(st * g[c][None], axis=2)          # (9Ci, H)
+                cols.append(jnp.sum(s2, axis=1, keepdims=True))  # (9Ci, 1)
+            o_ref[dz] = o_ref[dz] + jnp.concatenate(cols, axis=1)
 
 
 def _flax_to_stacked(kernel: jnp.ndarray) -> jnp.ndarray:

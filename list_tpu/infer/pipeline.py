@@ -64,8 +64,13 @@ def _device_infer(executor, dataset, cat_id, shape_id, output_dir, cam_id):
     batch = dataset.get_testdata(cat_id, shape_id, cam_id)
     if os.path.exists(fname + '_pred.obj'):
         return batch, fname, None
+    # device_out: hand the worker thread a device array so the
+    # device->host fetch (np.asarray releases the GIL) overlaps the next
+    # shape's device compute instead of idling the chip for a full host-
+    # link round trip per mesh.
     pred_values = executor.predict_grid(batch['rgb_image'],
-                                        batch.get('transmat'))
+                                        batch.get('transmat'),
+                                        device_out=True)
     return batch, fname, pred_values
 
 
@@ -82,6 +87,7 @@ def _host_finish(executor, batch, fname, pred_values, eval_pred
         except Exception:
             pred_values = executor.predict_grid(batch['rgb_image'],
                                                 batch.get('transmat'))
+    pred_values = np.asarray(pred_values)  # fetch here (worker thread)
     mesh = generate_mesh(pred_values, executor.bb_min, executor.bb_max,
                          as_trimesh_obj=True)
     mesh.export(fname + '_pred.obj')

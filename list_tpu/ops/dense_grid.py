@@ -478,7 +478,10 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
 
     if mesh is not None and shard_axis is not None \
             and mesh.shape[shard_axis] > 1:
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
         nsh = mesh.shape[shard_axis]
         assert (R // S) % nsh == 0, (R, S, nsh)

@@ -204,6 +204,22 @@ class LISTExecutor(BaseExecutor):
 
     def _train_step_fn(self, state: TrainState, batch):
         trans_mat = batch.get('transmat')
+        if getattr(self.config, 'sort_queries', 0):
+            # Sort each sample's queries by voxel cell (x-major, the packed
+            # gather operands' row order).  Exact: every train loss is a
+            # permutation-invariant reduction over the query axis, and
+            # points/values are permuted together.  Measured on v5e: no
+            # gain (gather DMAs don't reward index locality) — off by
+            # default, kept as a tuning knob for other topologies.
+            from list_tpu.ops.grid import voxel_indices
+            pts, vals = batch['points'], batch['values']
+            r = self.vox_res
+            ijk = voxel_indices(pts, self.bb_min, self.bb_max, r)
+            key = (ijk[..., 0] * r + ijk[..., 1]) * r + ijk[..., 2]
+            order = jnp.argsort(key, axis=1)
+            batch = dict(batch,
+                         points=jnp.take_along_axis(pts, order[..., None], 1),
+                         values=jnp.take_along_axis(vals, order, 1))
 
         def loss_fn(params):
             (occ_pred, sdf_pred), updates = self.model.apply(
@@ -258,14 +274,21 @@ class LISTExecutor(BaseExecutor):
 
     def predict_grid(self, rgb_image: np.ndarray,
                      trans_mat: Optional[np.ndarray] = None,
-                     fast: Optional[bool] = None) -> np.ndarray:
+                     fast: Optional[bool] = None,
+                     device_out: bool = False) -> np.ndarray:
         """Dense (vox_res^3) SDF field for one image.
 
         fast path (default): gather-free dense-grid decode
         (ops.dense_grid.dense_grid_sdf) — regular-grid trilinear sampling
         restructured into static-index axis resampling + one MXU matmul.
         fallback: the reference-style chunked decode with the query axis
-        sharded across the mesh."""
+        sharded across the mesh.
+
+        device_out=True returns the (R, R, R) grid as a device array
+        WITHOUT the device->host fetch, so callers can overlap the fetch
+        (np.asarray in a worker thread) with the next image's device
+        compute — the infer pipeline and bench do this; a blocking fetch
+        idles the chip for the full host-link round trip per mesh."""
         img = jnp.asarray(rgb_image)
         enc = self._encode(self.state, img,
                            None if trans_mat is None
@@ -304,15 +327,20 @@ class LISTExecutor(BaseExecutor):
                                   **mesh_kw)
             # divide on-device (the host-side 2.1M-float divide costs ~10 ms
             # on this 1-core host; on-device it fuses into the scan output)
-            return np.asarray(grid / self.sdf_scale, np.float32)
+            out = (grid / self.sdf_scale).astype(jnp.float32)
+            if device_out:
+                return out
+            return np.asarray(out)
         qsh = query_sharding(self.mesh)
         vals = []
         for chunk in self._get_grid_chunks():
             chunk = jax.device_put(chunk, qsh)
             vals.append(self._decode(self.state, chunk, enc))
         pred = jnp.concatenate(vals, axis=1)
-        pred = np.asarray(pred).reshape((self.vox_res,) * 3)
-        return pred / self.sdf_scale
+        pred = pred.reshape((self.vox_res,) * 3) / self.sdf_scale
+        if device_out:
+            return pred
+        return np.asarray(pred)
 
     def test(self, batch, eval_pred: bool = False):
         img = batch['rgb_image']

@@ -159,6 +159,14 @@ def _build_parser() -> ArgumentParser:
                              'fleet, and the step is index-streaming '
                              'bound; 0 is faster wherever the ~2.5 GB of '
                              'chunk activations fit (batch <= 4).')
+    parser.add_argument('--sort_queries', type=int, default=0,
+                        help='Sort training queries by voxel cell inside the '
+                             'train step (points/values permuted together - '
+                             'exact, the losses are permutation-invariant '
+                             'sums). Measured on v5e: NO speedup (TPU '
+                             'gather DMAs do not reward index locality; '
+                             'the argsort costs ~0.2 s/step) - kept as an '
+                             'off-by-default experiment.')
     parser.add_argument('--train_query_chunks', type=int, default=4,
                         help='Split the training query axis into this many '
                              'rematerialized chunks (numerically exact; the '

@@ -124,6 +124,27 @@ def test_list_train_step(list_exec):
     assert int(ex.state.step) == 2
 
 
+def test_sort_queries_loss_parity():
+    """--sort_queries permutes (points, values) jointly inside the train
+    step; every loss is a permutation-invariant reduction over queries, so
+    losses must match the unsorted step up to fp reordering."""
+    results = {}
+    for sort in (0, 1):
+        cfg = tiny_cfg(sort_queries=sort)
+        model = LIST(vox_res=cfg.vox_res, point_feat=tuple(cfg.point_feat),
+                     point_degree=tuple(cfg.point_degree),
+                     im_enc_layers=tuple(cfg.im_enc_layers), h_dim=8,
+                     support=2)
+        ex = LISTExecutor(cfg, model)
+        batch, _ = make_batch(cfg)
+        ex.init_state(batch)
+        _, losses = ex.train(batch)
+        results[sort] = {k: float(v) for k, v in losses.items()}
+    for k in results[0]:
+        np.testing.assert_allclose(results[1][k], results[0][k], rtol=2e-5,
+                                   err_msg=f'loss {k} diverged under sorting')
+
+
 def test_list_inference_mesh(list_exec, tmp_path):
     ex, batch, ds = list_exec
     td = ds.get_testdata('synthetic', '0', 0)

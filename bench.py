@@ -113,6 +113,14 @@ def main():
                 _fetch(losses['sdf_loss'])
                 ts.append(time.time() - t0)
             step_s = float(np.median(ts))
+            # Loss finiteness is part of the benchmark contract: the r3 occ
+            # NaN (XLA log1p rewrite at saturated sigmoid) was first seen
+            # here but not failed on.
+            host_losses = {k: float(_fetch(v)) for k, v in losses.items()}
+            assert all(np.isfinite(v) for v in host_losses.values()), \
+                f'non-finite train losses: {host_losses}'
+            extras['train_losses'] = {k: round(v, 4)
+                                      for k, v in host_losses.items()}
             extras['train_batch'] = bsz
             extras['train_step_s'] = round(step_s, 3)
             extras['train_steps_per_sec'] = round(1.0 / step_s, 3)

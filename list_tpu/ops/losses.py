@@ -35,11 +35,23 @@ def sdf_loss(pred_sdf: jnp.ndarray, gt_sdf: jnp.ndarray,
 
 def occupancy_loss(occ_pred: jnp.ndarray, occ_gt: jnp.ndarray,
                    w: float = 0.9) -> jnp.ndarray:
-    """Weighted BCE x1000 over the full voxel grid (random baseline ~346.57)."""
+    """Weighted BCE x1000 over the full voxel grid (random baseline ~346.57).
+
+    The log terms are floored at -100 (torch F.binary_cross_entropy's
+    clamp).  Necessary on TPU: XLA reassociates log(1 - p + 1e-8) into
+    log1p(-p + 1e-8), and at p == 1.0 exactly the f32 rounding of
+    -1 + 1e-8 is -1.0, so the rewritten term is -inf where eager torch
+    computes log(1e-8) = -18.4 — and 0 * -inf at correctly-predicted
+    occupied voxels then poisons the whole mean with NaN (observed from
+    step 0 on v5e).  The floor is inactive in every case the reference
+    can reach (its logs are >= -18.4), so numerics parity is unchanged.
+    """
     occ_pred = occ_pred.astype(jnp.float32)
     occ_gt = occ_gt.astype(jnp.float32)
-    return 1000.0 * (-w * jnp.mean(occ_gt * jnp.log(occ_pred + 1e-8))
-                     - (1 - w) * jnp.mean((1 - occ_gt) * jnp.log(1 - occ_pred + 1e-8)))
+    la = jnp.maximum(jnp.log(occ_pred + 1e-8), -100.0)
+    lb = jnp.maximum(jnp.log(1 - occ_pred + 1e-8), -100.0)
+    return 1000.0 * (-w * jnp.mean(occ_gt * la)
+                     - (1 - w) * jnp.mean((1 - occ_gt) * lb))
 
 
 def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

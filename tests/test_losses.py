@@ -40,6 +40,25 @@ def test_occupancy_loss(rng):
     np.testing.assert_allclose(ours, ref.item(), rtol=1e-5)
 
 
+def test_occupancy_loss_saturated_finite(rng):
+    """Exactly-saturated sigmoid outputs (0.0 / 1.0) must give a finite
+    loss matching eager torch.  On TPU, XLA rewrites log(1 - p + 1e-8)
+    into log1p(-p + 1e-8) whose f32 rounding at p == 1 is log(0) = -inf,
+    and 0 * -inf poisoned the mean with NaN (r3 regression); the -100
+    torch-style log floor guards it without changing reachable numerics."""
+    occ_gt = (rng.rand(2, 8, 8, 8) > 0.5).astype(np.float32)
+    occ = rng.rand(2, 8, 8, 8).astype(np.float32)
+    occ[0, :4] = 1.0
+    occ[1, :4] = 0.0
+    ours = float(occupancy_loss(jnp.asarray(occ), jnp.asarray(occ_gt)))
+    assert np.isfinite(ours)
+    t_occ, t_gt = torch.tensor(occ), torch.tensor(occ_gt)
+    w = 0.9
+    ref = 1000 * (-w * torch.mean(t_gt * torch.log(t_occ + 1e-8))
+                  - (1 - w) * torch.mean((1 - t_gt) * torch.log(1 - t_occ + 1e-8)))
+    np.testing.assert_allclose(ours, ref.item(), rtol=1e-5)
+
+
 def test_occ_loss_random_baseline():
     """Constant 0.5 prediction gives ~346.574 (executors.py:137 comment)."""
     occ = np.full((1, 4, 4, 4), 0.5, np.float32)

@@ -37,19 +37,25 @@ def occupancy_loss(occ_pred: jnp.ndarray, occ_gt: jnp.ndarray,
                    w: float = 0.9) -> jnp.ndarray:
     """Weighted BCE x1000 over the full voxel grid (random baseline ~346.57).
 
-    The log terms are floored at -100 (torch F.binary_cross_entropy's
-    clamp).  Necessary on TPU: XLA reassociates log(1 - p + 1e-8) into
-    log1p(-p + 1e-8), and at p == 1.0 exactly the f32 rounding of
-    -1 + 1e-8 is -1.0, so the rewritten term is -inf where eager torch
-    computes log(1e-8) = -18.4 — and 0 * -inf at correctly-predicted
-    occupied voxels then poisons the whole mean with NaN (observed from
-    step 0 on v5e).  The floor is inactive in every case the reference
-    can reach (its logs are >= -18.4), so numerics parity is unchanged.
+    The log ARGUMENTS are clamped below at 1e-8.  Necessary on TPU: XLA
+    reassociates log(1 - p + 1e-8) into log1p(-p + 1e-8), and at p == 1.0
+    exactly the f32 rounding of -1 + 1e-8 is -1.0, so the rewritten term
+    is -inf where eager torch computes log(1e-8) = -18.4 — and
+    0 * -inf at correctly-predicted occupied voxels poisons the mean with
+    NaN (observed from step 0 on v5e).  Clamping the log's OUTPUT is not
+    enough: the backward then multiplies the zeroed cotangent by log1p's
+    infinite local derivative (1/0) and NaNs the gradients instead
+    (observed as NaN params after one bench step).  The input clamp is
+    exact parity: f32 has no value of p for which the eager reference's
+    argument lands in (0, 1e-8) — the reachable set is {1e-8} ∪
+    [~6e-8 + 1e-8, 1 + 1e-8] — so max(arg, 1e-8) reproduces eager
+    torch's value bit-for-bit and keeps both directions finite, and the
+    max() also blocks the log1p pattern-match itself.
     """
     occ_pred = occ_pred.astype(jnp.float32)
     occ_gt = occ_gt.astype(jnp.float32)
-    la = jnp.maximum(jnp.log(occ_pred + 1e-8), -100.0)
-    lb = jnp.maximum(jnp.log(1 - occ_pred + 1e-8), -100.0)
+    la = jnp.log(jnp.maximum(occ_pred + 1e-8, 1e-8))
+    lb = jnp.log(jnp.maximum(1 - occ_pred + 1e-8, 1e-8))
     return 1000.0 * (-w * jnp.mean(occ_gt * la)
                      - (1 - w) * jnp.mean((1 - occ_gt) * lb))
 

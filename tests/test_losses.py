@@ -1,6 +1,7 @@
 """Loss numerics vs reference formulas (torch oracle where nontrivial)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import torch
 
@@ -42,16 +43,22 @@ def test_occupancy_loss(rng):
 
 def test_occupancy_loss_saturated_finite(rng):
     """Exactly-saturated sigmoid outputs (0.0 / 1.0) must give a finite
-    loss matching eager torch.  On TPU, XLA rewrites log(1 - p + 1e-8)
-    into log1p(-p + 1e-8) whose f32 rounding at p == 1 is log(0) = -inf,
-    and 0 * -inf poisoned the mean with NaN (r3 regression); the -100
-    torch-style log floor guards it without changing reachable numerics."""
+    loss AND finite gradients matching eager torch.  On TPU, XLA rewrites
+    log(1 - p + 1e-8) into log1p(-p + 1e-8) whose f32 rounding at p == 1
+    is log(0) = -inf: 0 * -inf NaN'd the forward mean, and an output-side
+    floor still NaN'd the backward (zero cotangent x log1p's 1/0 local
+    derivative); the input-side clamp guards both without changing any
+    reachable numerics."""
     occ_gt = (rng.rand(2, 8, 8, 8) > 0.5).astype(np.float32)
     occ = rng.rand(2, 8, 8, 8).astype(np.float32)
     occ[0, :4] = 1.0
     occ[1, :4] = 0.0
-    ours = float(occupancy_loss(jnp.asarray(occ), jnp.asarray(occ_gt)))
+    loss_j = jax.jit(occupancy_loss)
+    ours = float(loss_j(jnp.asarray(occ), jnp.asarray(occ_gt)))
     assert np.isfinite(ours)
+    g = jax.jit(jax.grad(occupancy_loss))(jnp.asarray(occ),
+                                          jnp.asarray(occ_gt))
+    assert np.isfinite(np.asarray(g)).all(), 'NaN/inf in saturated BCE grad'
     t_occ, t_gt = torch.tensor(occ), torch.tensor(occ_gt)
     w = 0.9
     ref = 1000 * (-w * torch.mean(t_gt * torch.log(t_occ + 1e-8))

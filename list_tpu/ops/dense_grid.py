@@ -478,6 +478,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
 
     if mesh is not None and shard_axis is not None \
             and mesh.shape[shard_axis] > 1:
+        import inspect
         try:
             from jax import shard_map
         except ImportError:  # older jax
@@ -485,12 +486,16 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         from jax.sharding import PartitionSpec as P
         nsh = mesh.shape[shard_axis]
         assert (R // S) % nsh == 0, (R, S, nsh)
+        # replication checking kwarg: check_rep (experimental API) was
+        # renamed check_vma in the public jax.shard_map; disable under
+        # either name (the per-slab body is trivially shardable).
+        _params = inspect.signature(shard_map).parameters
+        _kw = {k: False for k in ('check_rep', 'check_vma') if k in _params}
         slabs = shard_map(
             scan_slabs, mesh=mesh,
             in_specs=(jax.tree.map(lambda _: P(shard_axis), xss),
                       jax.tree.map(lambda _: P(), consts)),
-            out_specs=P(shard_axis),
-            check_rep=False)(xss, consts)
+            out_specs=P(shard_axis), **_kw)(xss, consts)
     else:
         slabs = scan_slabs(xss, consts)
     return slabs.reshape(R, R, R)

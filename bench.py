@@ -173,10 +173,12 @@ def main():
     with ThreadPoolExecutor(max_workers=3) as pool:
         pool.submit(lambda: None).result()  # warm the pool
         t0 = time.time()
+        # device grids ride the host link in bf16 (--fetch_dtype default;
+        # halves tunnel bytes, upcast host-side like infer/pipeline.py)
         futs = [pool.submit(np.asarray,
                             ex.predict_grid(img, device_out=True))
                 for _ in range(n_meshes)]
-        grids = [f.result() for f in futs]
+        grids = [f.result().astype(np.float32) for f in futs]
         pipelined_total = time.time() - t0
     assert all(np.isfinite(g).all() for g in grids)
     sec_per_mesh = pipelined_total / n_meshes
@@ -237,15 +239,18 @@ def main():
         kw = dict(slab=4, scan_unroll=2)  # XLA head (production default)
         args256 = (ex.state.params['sdf_decoder'], enc['vox_feat'],
                    enc['feat_l2'], enc['trans_mat'], 256)
-        _fetch(dense_grid_sdf(*args256, **kw))
-        # pipelined like the headline: the 64 MB relay fetch of mesh i
-        # overlaps the device decode of mesh i+1
+        _fetch(dense_grid_sdf(*args256, **kw).astype(jnp.bfloat16)[:8])
+        # pipelined like the headline: the relay fetch of mesh i (bf16
+        # wire, 32 MB like predict_grid's --fetch_dtype) overlaps the
+        # device decode of mesh i+1
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=2) as pool:
             t0 = time.time()
-            futs = [pool.submit(np.asarray, dense_grid_sdf(*args256, **kw))
+            futs = [pool.submit(
+                np.asarray,
+                dense_grid_sdf(*args256, **kw).astype(jnp.bfloat16))
                     for _ in range(2)]
-            gs256 = [f.result() for f in futs]
+            gs256 = [f.result().astype(np.float32) for f in futs]
             sec_256 = (time.time() - t0) / 2
         assert all(np.isfinite(g).all() for g in gs256)
         extras['sec_per_mesh_256'] = round(sec_256, 3)

@@ -140,6 +140,16 @@ def _build_parser() -> ArgumentParser:
                         help='Use the dense-grid gather-free SDF decode path '
                              'at inference (1) or the reference-style chunked '
                              'gather loop (0).')
+    parser.add_argument('--fetch_dtype', type=str, default='bfloat16',
+                        choices=['float32', 'bfloat16'],
+                        help='Wire dtype of the dense SDF grid for the '
+                             'device->host fetch (upcast to f32 on host). '
+                             'bfloat16 halves host-link traffic; marching '
+                             'cubes only interpolates near the zero '
+                             'crossing, where bf16 keeps full relative '
+                             'precision (vertex shift < 1e-4 world units, '
+                             'far under the 0.005 eval threshold). '
+                             'float32 restores a bit-exact fetch.')
     parser.add_argument('--use_pallas', type=int, default=0,
                         help='Fused fc0+MLP Pallas kernel for the dense SDF '
                              'decode on TPU (1) or the pure-XLA path (0, '

@@ -87,7 +87,9 @@ def _host_finish(executor, batch, fname, pred_values, eval_pred
         except Exception:
             pred_values = executor.predict_grid(batch['rgb_image'],
                                                 batch.get('transmat'))
-    pred_values = np.asarray(pred_values)  # fetch here (worker thread)
+    # fetch here (worker thread); bf16 wire dtype (--fetch_dtype) upcast
+    # on host — marching cubes wants f32
+    pred_values = np.asarray(pred_values).astype(np.float32)
     mesh = generate_mesh(pred_values, executor.bb_min, executor.bb_max,
                          as_trimesh_obj=True)
     mesh.export(fname + '_pred.obj')

@@ -275,7 +275,8 @@ class LISTExecutor(BaseExecutor):
     def predict_grid(self, rgb_image: np.ndarray,
                      trans_mat: Optional[np.ndarray] = None,
                      fast: Optional[bool] = None,
-                     device_out: bool = False) -> np.ndarray:
+                     device_out: bool = False,
+                     fetch_dtype: Optional[str] = None) -> np.ndarray:
         """Dense (vox_res^3) SDF field for one image.
 
         fast path (default): gather-free dense-grid decode
@@ -288,7 +289,17 @@ class LISTExecutor(BaseExecutor):
         WITHOUT the device->host fetch, so callers can overlap the fetch
         (np.asarray in a worker thread) with the next image's device
         compute — the infer pipeline and bench do this; a blocking fetch
-        idles the chip for the full host-link round trip per mesh."""
+        idles the chip for the full host-link round trip per mesh.
+
+        fetch_dtype (default --fetch_dtype, 'bfloat16'): wire dtype of the
+        returned grid.  bf16 halves host-link bytes; marching cubes only
+        interpolates edges that cross zero, where bf16's 8-bit mantissa
+        keeps full RELATIVE precision, so vertex positions shift < 1e-4
+        world units.  Host callers upcast after the fetch.  Pass 'float32'
+        for a bit-exact grid (parity tests do)."""
+        if fetch_dtype is None:
+            fetch_dtype = getattr(self.config, 'fetch_dtype', 'float32')
+        wire = jnp.bfloat16 if fetch_dtype == 'bfloat16' else jnp.float32
         img = jnp.asarray(rgb_image)
         enc = self._encode(self.state, img,
                            None if trans_mat is None
@@ -327,20 +338,21 @@ class LISTExecutor(BaseExecutor):
                                   **mesh_kw)
             # divide on-device (the host-side 2.1M-float divide costs ~10 ms
             # on this 1-core host; on-device it fuses into the scan output)
-            out = (grid / self.sdf_scale).astype(jnp.float32)
+            out = (grid / self.sdf_scale).astype(wire)
             if device_out:
                 return out
-            return np.asarray(out)
+            return np.asarray(out).astype(np.float32)
         qsh = query_sharding(self.mesh)
         vals = []
         for chunk in self._get_grid_chunks():
             chunk = jax.device_put(chunk, qsh)
             vals.append(self._decode(self.state, chunk, enc))
         pred = jnp.concatenate(vals, axis=1)
-        pred = pred.reshape((self.vox_res,) * 3) / self.sdf_scale
+        pred = (pred.reshape((self.vox_res,) * 3)
+                / self.sdf_scale).astype(wire)
         if device_out:
             return pred
-        return np.asarray(pred)
+        return np.asarray(pred).astype(np.float32)
 
     def test(self, batch, eval_pred: bool = False):
         img = batch['rgb_image']

@@ -155,6 +155,29 @@ def test_list_inference_mesh(list_exec, tmp_path):
     assert os.path.exists(tmp_path / 'shape_pred.obj')
 
 
+def test_predict_grid_bf16_fetch(list_exec):
+    """--fetch_dtype bfloat16 (the default) halves host-link bytes; the
+    grid must round-trip within bf16 tolerance of the f32 fetch and keep
+    full relative precision near the zero crossing (what marching cubes
+    interpolates)."""
+    ex, batch, ds = list_exec
+    img = batch['rgb_image'][:1]
+    f32 = ex.predict_grid(img, fetch_dtype='float32')
+    assert f32.dtype == np.float32
+    dev = ex.predict_grid(img, device_out=True, fetch_dtype='bfloat16')
+    assert dev.dtype == jnp.bfloat16
+    b = np.asarray(dev).astype(np.float32)
+    host = ex.predict_grid(img, fetch_dtype='bfloat16')
+    assert host.dtype == np.float32
+    np.testing.assert_array_equal(host, b)
+    # bf16 relative error is <= 2^-8; values are O(1) after /sdf_scale
+    assert np.abs(b - f32).max() <= np.abs(f32).max() * 2.0 ** -8 + 1e-6
+    near = np.abs(f32) < 0.05  # near the iso-surface
+    if near.any():
+        assert np.abs(b[near] - f32[near]).max() <= \
+            np.abs(f32[near]).max() * 2.0 ** -8 + 1e-7
+
+
 def test_checkpoint_roundtrip(list_exec, tmp_path):
     ex, batch, _ = list_exec
     path = str(tmp_path / 'ck.ckpt')

@@ -142,7 +142,10 @@ def main():
             del bex, bmodel, batch, losses
             break
         except Exception as e:  # pragma: no cover - bench resilience
-            extras['train_step_s'] = f'failed(b{bsz}): {e}'[:200]
+            # keyed per batch size so a later batch-4 success doesn't
+            # erase the batch-8 failure reason from the artifact
+            extras[f'train_fail_b{bsz}'] = f'{type(e).__name__}: {e}'[:200]
+            extras.setdefault('train_step_s', f'failed(b{bsz}): {e}'[:200])
     gc.collect()
 
     cfg = default_config(sdf_scale=10.0, test_pointnum=65536, vox_res=128)
@@ -175,10 +178,11 @@ def main():
         t0 = time.time()
         # device grids ride the host link in bf16 (--fetch_dtype default;
         # halves tunnel bytes, upcast host-side like infer/pipeline.py)
-        futs = [pool.submit(np.asarray,
-                            ex.predict_grid(img, device_out=True))
+        futs = [pool.submit(
+            lambda g: np.asarray(g).astype(np.float32),
+            ex.predict_grid(img, device_out=True))
                 for _ in range(n_meshes)]
-        grids = [f.result().astype(np.float32) for f in futs]
+        grids = [f.result() for f in futs]
         pipelined_total = time.time() - t0
     assert all(np.isfinite(g).all() for g in grids)
     sec_per_mesh = pipelined_total / n_meshes

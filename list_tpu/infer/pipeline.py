@@ -43,7 +43,7 @@ def test_one_without_gttransmat(executor, dataset, cat_id, shape_id,
     if os.path.exists(fname + '_pred.obj'):
         try:
             pred = load_mesh(fname + '_pred.obj')
-            if eval_pred:
+            if eval_pred and batch.get('gt_mesh') is not None:
                 eval_score = executor.eval(pred, batch['gt_mesh'])
         except Exception:
             pred, eval_score = executor.test(batch, eval_pred)
@@ -171,34 +171,89 @@ def test_all(config) -> Optional[str]:
               f'Time: {time.time() - shape_start:0.5f} || '
               f'ETA: {h:02d}h:{m:02d}m:{s:02d}s')
 
+    infer_batch = max(int(getattr(config, 'infer_batch', 1) or 1), 1)
     cat_id = 'all'
-    for batch_idx, data in enumerate(
-            testset.datalist[start_idx:start_idx + chunk]):
-        cat_id = data['cat_id']
-        shape_id = data['shape_id']
-        shape_start = time.time()
-        cam_ids = ([data['img_id'].split('.')[0]] if 'img_id' in data
-                   else [config.test_cam_id])
-        for cam_id in cam_ids:
-            if overlap:
-                batch, fname, vals = _device_infer(
-                    executor, testset, cat_id, shape_id, output_dir, cam_id)
-                if pending is not None:
-                    fut, *meta = pending
-                    record(fut.result(), *meta)
-                pending = (pool.submit(_host_finish, executor, batch, fname,
-                                       vals, config.eval_pred),
-                           cat_id, shape_id, cam_id, shape_start, batch_idx)
-            else:
-                eval_score = test_one_without_gttransmat(
-                    executor, testset, cat_id, shape_id, output_dir, cam_id,
-                    config.eval_pred)
-                record(eval_score, cat_id, shape_id, cam_id, shape_start,
-                       batch_idx)
+    if overlap and infer_batch > 1 \
+            and hasattr(executor, 'predict_grid_batch'):
+        # Batched device decode (--infer_batch): B meshes per dispatch
+        # amortize the encoder pass + per-slab fixed costs; host
+        # meshing/eval still runs per shape on the worker thread, draining
+        # the previous group while the current group computes on device.
+        items = []
+        for data in testset.datalist[start_idx:start_idx + chunk]:
+            cam_ids = ([data['img_id'].split('.')[0]] if 'img_id' in data
+                       else [config.test_cam_id])
+            items.extend((data['cat_id'], data['shape_id'], c)
+                         for c in cam_ids)
+        pendings: List = []
 
-    if pending is not None:
-        fut, *meta = pending
-        record(fut.result(), *meta)
+        def drain():
+            for fut, meta in pendings:
+                record(fut.result(), *meta)
+            pendings.clear()
+
+        for g0 in range(0, len(items), infer_batch):
+            group = items[g0:g0 + infer_batch]
+            shape_start = time.time()
+            entries = []
+            uncached = []
+            for cat_id, shape_id, cam_id in group:
+                os.makedirs(os.path.join(output_dir, cat_id, shape_id),
+                            exist_ok=True)
+                fname = os.path.join(output_dir, cat_id, shape_id,
+                                     str(cam_id).zfill(2))
+                batch = testset.get_testdata(cat_id, shape_id, cam_id)
+                meta = (cat_id, shape_id, cam_id, shape_start, g0)
+                entries.append([batch, fname, meta, None])
+                if not os.path.exists(fname + '_pred.obj'):
+                    uncached.append(entries[-1])
+            if uncached:
+                imgs = np.concatenate(
+                    [e[0]['rgb_image'] for e in uncached])
+                tms = None
+                if uncached[0][0].get('transmat') is not None:
+                    tms = np.concatenate(
+                        [e[0]['transmat'] for e in uncached])
+                grids = executor.predict_grid_batch(imgs, tms,
+                                                    device_out=True)
+                for i, e in enumerate(uncached):
+                    e[3] = grids[i]
+            drain()
+            for batch, fname, meta, vals in entries:
+                pendings.append(
+                    (pool.submit(_host_finish, executor, batch, fname,
+                                 vals, config.eval_pred), meta))
+        drain()
+    else:
+        for batch_idx, data in enumerate(
+                testset.datalist[start_idx:start_idx + chunk]):
+            cat_id = data['cat_id']
+            shape_id = data['shape_id']
+            shape_start = time.time()
+            cam_ids = ([data['img_id'].split('.')[0]] if 'img_id' in data
+                       else [config.test_cam_id])
+            for cam_id in cam_ids:
+                if overlap:
+                    batch, fname, vals = _device_infer(
+                        executor, testset, cat_id, shape_id, output_dir,
+                        cam_id)
+                    if pending is not None:
+                        fut, *meta = pending
+                        record(fut.result(), *meta)
+                    pending = (pool.submit(_host_finish, executor, batch,
+                                           fname, vals, config.eval_pred),
+                               cat_id, shape_id, cam_id, shape_start,
+                               batch_idx)
+                else:
+                    eval_score = test_one_without_gttransmat(
+                        executor, testset, cat_id, shape_id, output_dir,
+                        cam_id, config.eval_pred)
+                    record(eval_score, cat_id, shape_id, cam_id, shape_start,
+                           batch_idx)
+
+        if pending is not None:
+            fut, *meta = pending
+            record(fut.result(), *meta)
     if pool is not None:
         pool.shutdown(wait=True)
 

@@ -150,6 +150,13 @@ def _build_parser() -> ArgumentParser:
                              'precision (vertex shift < 1e-4 world units, '
                              'far under the 0.005 eval threshold). '
                              'float32 restores a bit-exact fetch.')
+    parser.add_argument('--infer_batch', type=int, default=1,
+                        help='Meshes decoded per device dispatch in the test '
+                             'sweep (dense path only). >1 amortizes the '
+                             'encoder pass and per-slab fixed costs across '
+                             'shapes (the reference decodes one shape per '
+                             'dispatch, test.py:85-110); host meshing/eval '
+                             'still runs per shape in the worker thread.')
     parser.add_argument('--use_pallas', type=int, default=0,
                         help='Fused fc0+MLP Pallas kernel for the dense SDF '
                              'decode on TPU (1) or the pure-XLA path (0, '

@@ -354,6 +354,46 @@ class LISTExecutor(BaseExecutor):
             return pred
         return np.asarray(pred).astype(np.float32)
 
+    def predict_grid_batch(self, rgb_images: np.ndarray,
+                           trans_mats: Optional[np.ndarray] = None,
+                           device_out: bool = False,
+                           fetch_dtype: Optional[str] = None) -> np.ndarray:
+        """Dense SDF fields for B images in ONE device dispatch.
+
+        The reference test sweep decodes one shape per dispatch
+        (test.py:85-110); batching amortizes the encoder pass and the
+        per-slab fixed costs of the dense decode across meshes.  Returns
+        (B, R, R, R); falls back to a predict_grid loop when the dense
+        path is unavailable (odd resolutions, multi-chip slab sharding)."""
+        if fetch_dtype is None:
+            fetch_dtype = getattr(self.config, 'fetch_dtype', 'float32')
+        wire = jnp.bfloat16 if fetch_dtype == 'bfloat16' else jnp.float32
+        imgs = jnp.asarray(rgb_images)
+        slab = next((s for s in ((16, 8, 4, 2) if self.vox_res <= 192
+                                 else (4, 2)) if self.vox_res % s == 0), None)
+        fast = bool(getattr(self.config, 'fast_grid', 1)) and slab is not None
+        multichip = any(self.mesh.shape[ax] > 1 for ax in self.mesh.axis_names)
+        if not fast or multichip:
+            grids = [self.predict_grid(
+                imgs[i:i + 1],
+                None if trans_mats is None else trans_mats[i:i + 1],
+                device_out=True, fetch_dtype=fetch_dtype)
+                for i in range(imgs.shape[0])]
+            out = jnp.stack(grids)
+        else:
+            from list_tpu.ops.dense_grid import dense_grid_sdf_batch
+            enc = self._encode(self.state, imgs,
+                               None if trans_mats is None
+                               else jnp.asarray(trans_mats))
+            grid = dense_grid_sdf_batch(
+                self.state.params['sdf_decoder'], enc['vox_feat'],
+                enc['feat_l2'], enc['trans_mat'], self.vox_res, slab=slab,
+                bb_min=self.bb_min, bb_max=self.bb_max, scan_unroll=2)
+            out = (grid / self.sdf_scale).astype(wire)
+        if device_out:
+            return out
+        return np.asarray(out).astype(np.float32)
+
     def test(self, batch, eval_pred: bool = False):
         img = batch['rgb_image']
         mesh_gt = batch.get('gt_mesh')

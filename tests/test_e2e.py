@@ -103,3 +103,29 @@ def test_stage2_inference_pipeline(env):
         if any(f.endswith('_pred.obj') for f in files):
             found = True
     assert found
+
+
+def test_stage2_inference_batched(env):
+    """--infer_batch 2: grouped device decode produces the same sweep
+    artifacts (meshes + CSV) as the per-shape path; cached meshes from the
+    previous sweep exercise the mixed cached/uncached grouping."""
+    root, data_root = env
+    cfg = _cfg(root, data_root, exp_name='list_stage2',
+               model='network.models.LIST',
+               dataset='datasets.Datasets.IM2SDF', eval_pred=True,
+               test_checkpoint='best_model_train.ckpt',
+               sample_distribution=[0.45, 0.44, 0.1], infer_batch=2)
+    # first sweep already ran in test_stage2_inference_pipeline -> cached
+    # meshes; drop one pred to force a (cached, fresh) mixed group
+    removed = 0
+    for base, _, files in os.walk(cfg.results_dir):
+        for f in files:
+            if f.endswith('_pred.obj') and not removed:
+                os.remove(os.path.join(base, f))
+                removed += 1
+    csv_path = run_test_all(cfg)
+    assert csv_path is not None and os.path.exists(csv_path)
+    n_meshes = sum(f.endswith('_pred.obj')
+                   for base, _, files in os.walk(cfg.results_dir)
+                   for f in files)
+    assert n_meshes >= 2

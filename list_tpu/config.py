@@ -176,6 +176,15 @@ def _build_parser() -> ArgumentParser:
                              'fleet, and the step is index-streaming '
                              'bound; 0 is faster wherever the ~2.5 GB of '
                              'chunk activations fit (batch <= 4).')
+    parser.add_argument('--fuse_sample_gathers', type=int, default=0,
+                        help='Scales per fused gather op in the packed '
+                             'training sampler: the train step is gather-'
+                             'LATENCY bound (fixed per-gather-op index '
+                             'copies dominate, see BASELINE.md roofline), '
+                             'so batching N scales through one shared '
+                             'flat buffer trades a (B, 8, N, 7*chunk, '
+                             '128) transient for 1/N the gather ops. '
+                             '0 (default) keeps per-scale takes.')
     parser.add_argument('--sort_queries', type=int, default=0,
                         help='Sort training queries by voxel cell inside the '
                              'train step (points/values permuted together - '

@@ -103,6 +103,10 @@ class LIST(nn.Module):
     # so skipping decode remat trades ~2.5 GB for a third of the index
     # traffic.  Batch 8 still needs it (250 MB headroom).
     remat_decode: Optional[bool] = None
+    # --fuse_sample_gathers: scales per fused gather op in the packed
+    # training sampler (the step is gather-latency bound; fewer, bigger
+    # takes).  0 keeps the per-scale takes.
+    fuse_gather: int = 0
     # Split the training query axis into this many rematerialized chunks:
     # the reference holds the full (B, 3610, N) first-layer activation live
     # (modules.py:276); at batch 8 x 32,441 queries that is ~3.8 GB f32 and
@@ -119,6 +123,8 @@ class LIST(nn.Module):
                    im_enc_layers=tuple(config.im_enc_layers),
                    remat=bool(getattr(config, 'remat', 0)),
                    remat_decode=(None if rd < 0 else bool(rd)),
+                   fuse_gather=int(
+                       getattr(config, 'fuse_sample_gathers', 0)),
                    train_query_chunks=int(
                        getattr(config, 'train_query_chunks', 4)))
 
@@ -132,7 +138,8 @@ class LIST(nn.Module):
         self.vox_encoder = vox_cls(layers=tuple(self.im_enc_layers),
                                    cmajor=True,
                                    packed_dtype=self.vox_packed_dtype)
-        self.sdf_decoder = VoxelDecoder2(h_dim=self.h_dim)
+        self.sdf_decoder = VoxelDecoder2(h_dim=self.h_dim,
+                                         fuse_gather=self.fuse_gather)
         self.percep_pooling = PerceptualPooling()
         enc_kw = ({} if self.im_filters is None
                   else dict(filters=tuple(self.im_filters),

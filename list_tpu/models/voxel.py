@@ -187,6 +187,9 @@ class VoxelDecoder2(nn.Module):
     """SDF head. Returns (B, N) raw SDF values (in sdf_scale units)."""
     h_dim: int = 256
     delta: float = 0.0722
+    # --fuse_sample_gathers: scales per fused gather op in the packed
+    # training sampler (0/1 = per-scale takes).
+    fuse_gather: int = 0
 
     @nn.compact
     def __call__(self, p: jnp.ndarray, feat: Sequence[jnp.ndarray],
@@ -195,7 +198,8 @@ class VoxelDecoder2(nn.Module):
         # metadata when ``feat`` is in the lane-dense training layout.
         if vox_meta is not None:
             from list_tpu.ops.sampling import sample_multiscale_packed
-            vox = sample_multiscale_packed(feat, vox_meta, p, self.delta)
+            vox = sample_multiscale_packed(feat, vox_meta, p, self.delta,
+                                           fuse_group=self.fuse_gather)
         else:
             vox = sample_multiscale(feat, p, self.delta)
         x = jnp.concatenate([vox, percep_feat, p], axis=-1)

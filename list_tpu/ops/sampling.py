@@ -274,18 +274,113 @@ def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
     return plane(z0) * (1 - wz) + plane(z1) * wz
 
 
+def _fused_sample_packed(packed_feats, metas, pd: jnp.ndarray, group: int):
+    """Cross-scale fused trilinear gather: ONE ``jnp.take`` per group of
+    scales covers both z-planes and all four (y, x) corners at once.
+
+    The train step is gather-LATENCY bound — fixed per-gather-op costs
+    (async s32 index copies + slices, ~1 s/step in the r3 trace) dominate
+    over gathered bytes (BASELINE.md roofline).  The per-scale sampler
+    issues 2 takes per scale (12 ops for the 6-scale pyramid, x2 with two
+    query chunks); fusing scales into a shared flat buffer collapses that
+    to ceil(S/group) ops.  ``group`` bounds the transient gathered block
+    (B, 8, group, Np, 128) — group=3 is ~1.4 GB at batch 4 x 2 chunks.
+
+    All production scales fold-pack to exactly 128 lanes (pack_meta), so
+    the shared-buffer concat is copy-only; narrower test-model scales are
+    lane-padded (bytes XLA would pad physically anyway).
+
+    Returns the per-scale (B, Np, C) samples in scale order, numerically
+    identical to ``_sample_packed_one`` (same index math, same one-hot
+    select, same lerp order).
+    """
+    B, Np, _ = pd.shape
+    S = len(packed_feats)
+    widths = [m[4] * m[3] for m in metas]  # g * C per scale
+    w_max = max(widths)
+
+    offs, bufs = [], []
+    off = 0
+    for packed, w in zip(packed_feats, widths):
+        M = packed.shape[1]
+        buf = packed.reshape(B * M, w)
+        if w < w_max:
+            buf = jnp.pad(buf, ((0, 0), (0, w_max - w)))
+        bufs.append(buf)
+        offs.append(off)
+        off += B * M
+    cat = jnp.concatenate(bufs, axis=0) if S > 1 else bufs[0]
+
+    barange = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+    gidx, slots, weights = [], [], []
+    for packed, meta, boff in zip(packed_feats, metas, offs):
+        D, H, W, C, g = meta
+        M = packed.shape[1]
+        x = _unnormalize(pd[..., 0], W, True)
+        y = _unnormalize(pd[..., 1], H, True)
+        z = _unnormalize(pd[..., 2], D, True)
+        x0, x1, wx, _, _ = _corner_weights(x, W, 'border')
+        y0, y1, wy, _, _ = _corner_weights(y, H, 'border')
+        z0, z1, wz, _, _ = _corner_weights(z, D, 'border')
+        planes = []
+        for zi in (z0, z1):
+            base = zi * H
+            planes.append(jnp.stack(
+                [(base + y0) * W + x0, (base + y0) * W + x1,
+                 (base + y1) * W + x0, (base + y1) * W + x1], axis=1))
+        flats = jnp.concatenate(planes, axis=1)  # (B, 8, Np)
+        gidx.append(boff + barange * M + flats // g)
+        slots.append(flats % g)
+        weights.append((wx[..., None], wy[..., None], wz[..., None]))
+
+    samples = []
+    for g0 in range(0, S, group):
+        sub = list(range(g0, min(g0 + group, S)))
+        idx = jnp.stack([gidx[s] for s in sub], axis=2)  # (B, 8, |sub|, Np)
+        rows = jnp.take(cat, idx.reshape(-1), axis=0).reshape(
+            B, 8, len(sub), Np, w_max)
+        for j, s in enumerate(sub):
+            g = metas[s][4]
+            C = metas[s][3]
+            r = rows[:, :, j, :, :widths[s]].reshape(B, 8, Np, g, C)
+            if g == 1:
+                vals = r[:, :, :, 0]
+            else:
+                oh = jax.nn.one_hot(slots[s], g, dtype=r.dtype)
+                vals = jnp.einsum('bkng,bkngc->bknc', oh, r)
+            wx, wy, wz = weights[s]
+
+            def lerp(v, wx=wx, wy=wy):  # v: (B, 4, Np, C), one z-plane
+                top = v[:, 0] * (1 - wx) + v[:, 1] * wx
+                bot = v[:, 2] * (1 - wx) + v[:, 3] * wx
+                return top * (1 - wy) + bot * wy
+
+            samples.append(lerp(vals[:, :4]) * (1 - wz)
+                           + lerp(vals[:, 4:]) * wz)
+    return samples
+
+
 def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
-                             delta: float = 0.0722) -> jnp.ndarray:
+                             delta: float = 0.0722,
+                             fuse_group: int = 0) -> jnp.ndarray:
     """Packed equivalent of models.voxel.sample_multiscale: same 7
-    displacement taps, same (c*7+d) channel ordering, same numerics."""
+    displacement taps, same (c*7+d) channel ordering, same numerics.
+
+    fuse_group >= 2 batches the per-scale gathers ``fuse_group`` scales at
+    a time through one shared flat buffer (``_fused_sample_packed``) —
+    fewer, bigger gather ops for the latency-bound train step."""
     from list_tpu.models.voxel import make_displacements
 
     B, N, _ = p.shape
     disp = jnp.asarray(make_displacements(delta), p.dtype)  # (7, 3)
     pd = (p[:, None, :, :] + disp[None, :, None, :]).reshape(B, 7 * N, 3)
+    if fuse_group >= 2 and len(packed_feats) > 1:
+        samples = _fused_sample_packed(packed_feats, metas, pd, fuse_group)
+    else:
+        samples = [_sample_packed_one(packed, meta, pd)
+                   for packed, meta in zip(packed_feats, metas)]
     outs = []
-    for packed, meta in zip(packed_feats, metas):
-        s = _sample_packed_one(packed, meta, pd)  # (B, 7N, C)
+    for s, meta in zip(samples, metas):
         s = s.reshape(B, 7, N, meta[3])
         outs.append(jnp.transpose(s, (0, 2, 3, 1)))  # (B, N, C, 7)
     out = jnp.concatenate(outs, axis=2)

@@ -115,3 +115,35 @@ def test_dense_grid_sharded_matches_single():
     b = np.asarray(dense_grid_sdf(*args, slab=4, compute_dtype=jnp.float32,
                                   mesh=mesh, shard_axis=QUERY_AXIS))
     np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_sampler_data_sharded_matches_single():
+    """--fuse_sample_gathers under data-parallel SPMD: the shared flat
+    buffer's batch-offset index math (off + b*M + flat) must survive the
+    partitioner when the batch axis is sharded."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from list_tpu.ops.sampling import (pack_channels_last,
+                                       sample_multiscale_packed)
+    from list_tpu.parallel import auto_mesh, batch_sharding
+
+    rng = np.random.RandomState(7)
+    packed, metas = [], []
+    for res, c in ((8, 1), (4, 4), (2, 8)):
+        f = jnp.asarray(rng.randn(2, res, res, res, c).astype(np.float32))
+        p_, m_ = pack_channels_last(f)
+        packed.append(p_)
+        metas.append(m_)
+    p = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 33, 3)).astype(np.float32))
+
+    fn = jax.jit(lambda pk, q: sample_multiscale_packed(
+        pk, metas, q, fuse_group=2))
+    a = np.asarray(fn(packed, p))
+
+    mesh = auto_mesh(2)
+    sh = batch_sharding(mesh)
+    packed_s = [jax.device_put(x, sh) for x in packed]
+    p_s = jax.device_put(p, sh)
+    b = np.asarray(fn(packed_s, p_s))
+    np.testing.assert_allclose(b, a, atol=1e-6, rtol=1e-6)

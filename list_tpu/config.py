@@ -135,7 +135,13 @@ def _build_parser() -> ArgumentParser:
                              'data axis.')
     parser.add_argument('--dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
-                        help='Compute dtype for the model forward pass.')
+                        help='Accepted for config parity; currently a '
+                             'NO-OP. The rebuild pins bf16 where it is '
+                             'profitable AND safe (packed training '
+                             'features via --vox_packed_dtype, the dense '
+                             'decode compute path, the fetch wire via '
+                             '--fetch_dtype) and keeps f32 elsewhere '
+                             '(params, BN stats, projection coords).')
     parser.add_argument('--fast_grid', type=int, default=1,
                         help='Use the dense-grid gather-free SDF decode path '
                              'at inference (1) or the reference-style chunked '

@@ -80,8 +80,6 @@ class BaseExecutor:
         else:
             # 1-D data mesh sized to divide the train batch.
             self.mesh = auto_mesh(config.train_batch_size)
-        self.dtype = jnp.bfloat16 if getattr(config, 'dtype', 'float32') \
-            == 'bfloat16' else jnp.float32
         self._rng = init_rng if init_rng is not None else jax.random.PRNGKey(
             getattr(config, 'seed', 333))
         self.state = state

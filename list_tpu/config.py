@@ -42,8 +42,16 @@ def _build_parser() -> ArgumentParser:
     parser.add_argument('--chunk_s', type=int, default=0)
     parser.add_argument('--chunk_l', type=int, default=217)
 
-    parser.add_argument('--chunk_id', type=int, default=0)
-    parser.add_argument('--chunk_num', type=int, default=4)
+    # Reference-parity no-ops (arguments.py defines them; no shipped
+    # reference config reads them — cluster-array cruft): chunk_id/
+    # chunk_num (the live sharding knobs are --chunk_s/--chunk_l),
+    # cam_batch_size/cam_lr/cam_dir (the abandoned camera branch),
+    # point_decoder, n_decoder_pos, test_batch_size (test runs per-shape;
+    # see --infer_batch for the TPU-native batched sweep).
+    parser.add_argument('--chunk_id', type=int, default=0,
+                        help='accepted for reference CLI parity; inert')
+    parser.add_argument('--chunk_num', type=int, default=4,
+                        help='accepted for reference CLI parity; inert')
 
     # Required. Model & Dataset identifier (dotted path, see registry).
     parser.add_argument('--model', type=str, help='Dotted path of the model')
@@ -55,15 +63,20 @@ def _build_parser() -> ArgumentParser:
     parser.add_argument('--normalize', action='store_true')
 
     # Model components
-    parser.add_argument('--point_decoder', action='store_true')
+    parser.add_argument('--point_decoder', action='store_true',
+                        help='accepted for reference CLI parity; inert')
     parser.add_argument('--warm_start', action='store_true')
 
     parser.add_argument('--lr', type=float, default=0.0001)
     parser.add_argument('--beta1', type=float, default=0.9)
-    parser.add_argument('--cam_batch_size', type=int, default=16)
-    parser.add_argument('--cam_lr', type=float, default=0.00005)
+    parser.add_argument('--cam_batch_size', type=int, default=16,
+                        help='accepted for reference CLI parity; inert')
+    parser.add_argument('--cam_lr', type=float, default=0.00005,
+                        help='accepted for reference CLI parity; inert')
     parser.add_argument('--train_batch_size', type=int, default=12)
-    parser.add_argument('--test_batch_size', type=int, default=1)
+    parser.add_argument('--test_batch_size', type=int, default=1,
+                        help='accepted for reference CLI parity; inert '
+                             '(the batched sweep knob is --infer_batch)')
     parser.add_argument('--epochs', type=int, default=300)
     parser.add_argument('--sampling_mode', type=str, default='weighted',
                         help='accepted for reference CLI parity; inert — '
@@ -97,7 +110,8 @@ def _build_parser() -> ArgumentParser:
                         default=[1, 1, 1, 1, 16, 32, 64, 128, 128], nargs='+',
                         help='Layer dimensions for the voxel encoder.')
 
-    parser.add_argument('--n_decoder_pos', type=int, default=2)
+    parser.add_argument('--n_decoder_pos', type=int, default=2,
+                        help='accepted for reference CLI parity; inert')
     parser.add_argument('--bb_min', type=float, default=-0.5,
                         help='Bounding box minimum.')
     parser.add_argument('--bb_max', type=float, default=0.5,
@@ -108,7 +122,8 @@ def _build_parser() -> ArgumentParser:
     parser.add_argument('--data_dir', default='./Datasets/shapenet/')
     parser.add_argument('--mesh_dir', default='./Datasets/shapenet/mesh/')
     parser.add_argument('--h5_dir', default='./Datasets/shapenet/sampled_points/')
-    parser.add_argument('--cam_dir', default='./Datasets/shapenet/images/')
+    parser.add_argument('--cam_dir', default='./Datasets/shapenet/images/',
+                        help='accepted for reference CLI parity; unused')
     parser.add_argument('--image_dir', default='./Datasets/shapenet/images/')
     parser.add_argument('--catlist', type=str, default=list(CATLIST_13),
                         nargs='+', help='category list.')

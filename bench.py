@@ -88,9 +88,13 @@ def main():
                                   # batch<=4 the chunk activations also fit
                                   # live, so skip decode remat (the remat
                                   # backward re-streams every gather index
-                                  # and the step is index-streaming bound)
+                                  # and the step is index-streaming bound).
+                                  # batch 8 needs 4 chunks: the chunks=2
+                                  # body CRASHES the XLA TPU compiler
+                                  # (remote-compile helper exit 1, r3
+                                  # measured; chunks=4 runs 4.02 s/step)
                                   remat_decode=0 if bsz <= 4 else -1,
-                                  train_query_chunks=2)
+                                  train_query_chunks=2 if bsz <= 4 else 4)
             bmodel = LIST.from_config(bcfg)  # --remat default applies
             bex = LISTExecutor(bcfg, bmodel)
             batch = {

@@ -238,7 +238,7 @@ def main():
         extras['encode_s'] = round(_t(lambda: _fetch(
             ex._encode(ex.state, jimg)['trans_mat'])), 4)
         from list_tpu.ops.dense_grid import dense_grid_sdf
-        dkw = dict(slab=16, scan_unroll=2)  # XLA head (production default)
+        dkw = dict(slab=64, scan_unroll=1)  # XLA head (production default)
         dargs = (ex.state.params['sdf_decoder'], enc['vox_feat'],
                  enc['feat_l2'], enc['trans_mat'], 128)
         decode_s = _t(lambda: _fetch(
@@ -265,7 +265,7 @@ def main():
     try:
         from list_tpu.ops.dense_grid import dense_grid_sdf
         enc = ex._encode(ex.state, jnp.asarray(img))
-        kw = dict(slab=4, scan_unroll=2)  # XLA head (production default)
+        kw = dict(slab=8, scan_unroll=1)  # XLA head (production default)
         args256 = (ex.state.params['sdf_decoder'], enc['vox_feat'],
                    enc['feat_l2'], enc['trans_mat'], 256)
         _fetch(dense_grid_sdf(*args256, **kw).astype(jnp.bfloat16)[:8])

@@ -96,8 +96,8 @@ def resample_axis(vol: jnp.ndarray, axis: int, r_out: int, shift: float,
     wshape = [1] * vol.ndim
     wshape[axis] = r_out
     w = jnp.asarray(w, vol.dtype).reshape(wshape)
-    v0 = jnp.take(vol, jnp.asarray(i0), axis=axis)
-    v1 = jnp.take(vol, jnp.asarray(i1), axis=axis)
+    v0 = jnp.take(vol, jnp.asarray(i0), axis=axis, mode='clip')
+    v1 = jnp.take(vol, jnp.asarray(i1), axis=axis, mode='clip')
     return v0 * (1.0 - w) + v1 * w
 
 
@@ -133,6 +133,19 @@ def _tap_w1_rows(channels: Sequence[int], scale_idx: int,
     return np.asarray([(offset + ch) * 7 + tap for ch in range(c)], np.int64)
 
 
+def _group_w1_rows(channels: Sequence[int], group: Sequence[int]
+                   ) -> np.ndarray:
+    """fc_0 kernel rows for a same-resolution scale group in the structured
+    stack order: [taps 0-4 | tap 5 (x-) | tap 6 (x+)], channels of all
+    group members concatenated within each tap."""
+    rows = []
+    for d in (0, 1, 2, 3, 4, 5, 6):
+        for si in group:
+            offset = sum(channels[:si])
+            rows += [(offset + ch) * 7 + d for ch in range(channels[si])]
+    return np.asarray(rows, np.int64)
+
+
 def _bilinear_flat(pm: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample of pm (H, W, C) at pixel coords xy (n, 2) already
     clipped to [0, W-1]x[0, H-1].
@@ -154,7 +167,9 @@ def _bilinear_flat(pm: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     # one batched 4-corner gather (per-gather fixed costs dominate on TPU)
     idx = jnp.concatenate([y0 * W + x0, y0 * W + x1,
                            y1 * W + x0, y1 * W + x1])
-    vals = jnp.take(flat, idx, axis=0).reshape(4, n, -1)
+    # clip mode: idx is in-bounds by construction; fill mode's broadcast-
+    # select over the gathered (4n, 512) values cost 26 ms/mesh (r3 trace)
+    vals = jnp.take(flat, idx, axis=0, mode='clip').reshape(4, n, -1)
     top = vals[0] * (1 - wx) + vals[1] * wx
     bot = vals[2] * (1 - wx) + vals[3] * wx
     return top * (1 - wy) + bot * wy
@@ -183,6 +198,27 @@ def _slab_x_plans(R: int, r_in: int, x0: int, S: int, delta: float,
             L[t, s, i0[x0 + s] - lo] += 1.0 - w[x0 + s]
             L[t, s, i1[x0 + s] - lo] += w[x0 + s]
     return lo, hi, L
+
+
+def _scan_x_plans_full(R: int, r_in: int, S: int, delta: float,
+                       bb_min: float, bb_max: float, taps=XTAPS) -> np.ndarray:
+    """Full-window banded x-interpolation matrices, absolute positions.
+
+    Returns (nslabs, len(taps), S, r_in): row s of slab k maps output row
+    k*S+s to its two source x-rows of tap t.  Used by the coarse-projected
+    path, whose (r_in <= 16)-row volumes are cheap to contract in full —
+    one flattened matmul per slab with NO dynamic slices (banded slicing
+    of the stacked volumes lowered pathologically, r3 trace)."""
+    assert R % S == 0, (R, S)
+    plans = {sgn: _axis_plan(R, r_in, norm_shift(delta * sgn, r_in),
+                             bb_min, bb_max) for sgn in (-1, 0, 1)}
+    L = np.zeros((R // S, len(taps), S, r_in), np.float32)
+    for t, (sgn, _) in enumerate(taps):
+        i0, i1, w = plans[sgn]
+        for x in range(R):
+            L[x // S, t, x % S, i0[x]] += 1.0 - w[x]
+            L[x // S, t, x % S, i1[x]] += w[x]
+    return L
 
 
 def _scan_x_plans(R: int, r_in: int, S: int, delta: float,
@@ -273,7 +309,26 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     def _rows(si):
         return jnp.asarray(_scale_w1_rows(channels, si))
 
-    if fuse_scales:
+    # Structured stack path (production default): same-resolution kept
+    # scales are grouped (their channel axes concatenated) and the tap
+    # stack is built as [taps 0-4 | tap x- | tap x+] per group — taps 0-4
+    # share the x-center band, so their einsum has no batched tap dim and
+    # its output layout is natural (the r3 trace showed ~20 ms/mesh of
+    # 'syztc' transpose copies + column-major reshapes from the t-batched
+    # formulation).  W rows are permuted to match.
+    structured = fuse_scales and not use_pallas
+    if structured:
+        groups = []
+        for si in kept:
+            if groups and (vox_feats[groups[-1][0]].shape[1]
+                           == vox_feats[si].shape[1]):
+                groups[-1] = groups[-1] + (si,)
+            else:
+                groups.append((si,))
+        w1_vox = jnp.concatenate(
+            [w1[:n_vox_rows][jnp.asarray(_group_w1_rows(channels, g))]
+             for g in groups]).astype(compute_dtype)
+    elif fuse_scales:
         w1_vox = jnp.concatenate(
             [jnp.take(w1[:n_vox_rows], _rows(si), axis=0)
              for si in kept]).astype(compute_dtype)
@@ -307,16 +362,22 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     assert R % slab == 0, (R, slab)
     S = slab
     n = S * R * R
+    # entities the slab loop iterates over: scale groups (structured) or
+    # individual kept scales (pallas / per-scale A/B paths)
+    ents = groups if structured else [(si,) for si in kept]
+    ent_vols = [(vols[g[0]] if len(g) == 1
+                 else jnp.concatenate([vols[si] for si in g], axis=-1))
+                for g in ents]
     plan_los, plan_L7s = [], []
-    for si in kept:
-        los, L7s = _scan_x_plans(R, vols[si].shape[1], S, delta,
+    for g in ents:
+        los, L7s = _scan_x_plans(R, vols[g[0]].shape[0], S, delta,
                                  bb_min, bb_max)
         plan_los.append(jnp.asarray(los))
         plan_L7s.append(jnp.asarray(L7s, compute_dtype))
     x0s = jnp.arange(0, R, S, dtype=jnp.int32)
 
     # ---- coarse-projected volumes (once per decode, outside the scan) ----
-    proj_vols, proj_los, proj_L3s = [], [], []
+    proj_vols, proj_Ls = [], []
     for si in proj:
         V = vols[si]
         r_in = V.shape[0]
@@ -339,16 +400,40 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         U0 = ry(Tc, 0.0) + ry(rz(P(4), 0.0), dz) + ry(rz(P(3), 0.0), -dz)
         Uxp = ry(rz(P(6), 0.0), 0.0)
         Uxm = ry(rz(P(5), 0.0), 0.0)
-        proj_vols.append(jnp.stack([U0, Uxp, Uxm]))  # XTAPS order (0,+1,-1)
-        los, L3s = _scan_x_plans(R, r_in, S, delta, bb_min, bb_max,
-                                 taps=XTAPS)
-        proj_los.append(jnp.asarray(los))
-        proj_L3s.append(jnp.asarray(L3s, compute_dtype))
+        # Flattened to (r_in, R*R*512) and concatenated along the source-
+        # row axis in XTAPS order (0,+1,-1): the whole coarse contribution
+        # becomes ONE (S, Ktot) x (Ktot, R*R*512) matmul per slab with a
+        # single f32 output in the consumer's row-major layout.  The
+        # jnp.stack'd + dynamic-sliced banded formulation cost ~34 ms/mesh
+        # (pad/copy fusion + pathological tuple slice + output-layout
+        # copy); per-tap accumulated einsums cost ~73 ms (six 537 MB f32
+        # add-chain writes).  Full-window reads of the tiny coarse volumes
+        # are cheaper than either.
+        # 3-D (r_in, R*R, 512), NOT (r_in, R*R*512): the matmul output
+        # (S, R*R, 512) then bitcasts to (S*R*R, 512) — R*R % 8 == 0 keeps
+        # the (8,128) row tiling aligned at plane boundaries, while the
+        # flat 2-D form forced a 537 MB retile copy (27.8 ms/slab-pair).
+        proj_vols.extend(U.reshape(r_in, R * R, U.shape[-1])
+                         for U in (U0, Uxp, Uxm))
+        proj_Ls.append(_scan_x_plans_full(R, r_in, S, delta, bb_min, bb_max))
+
+    # One scanned (nslabs, S, Ktot) x-lerp matrix covering every projected
+    # scale and tap; Ucat holds the matching flattened volume rows.
+    nslabs = R // S
+    if proj:
+        Ucat = jnp.concatenate(proj_vols, axis=0)
+        Lcat = jnp.concatenate(
+            [np.transpose(L, (0, 2, 1, 3)).reshape(nslabs, S, -1)
+             for L in proj_Ls], axis=-1)
+        Lcat = jnp.asarray(Lcat, compute_dtype)
+    else:
+        Ucat = None
+        Lcat = jnp.zeros((nslabs, S, 0), compute_dtype)
 
     consts = {
-        'vols': [vols[si] for si in kept],
+        'vols': ent_vols,
         'pm512': pm512,
-        'trans_mat': trans_mat, 'proj_vols': proj_vols,
+        'trans_mat': trans_mat, 'Ucat': Ucat,
         'w1_xyz': w1_xyz, 'b1': b1, 'w2': w2, 'b2': b2, 'w3': w3, 'b3': b3,
         'w4': w4, 'b4': b4,
     }
@@ -358,7 +443,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         consts['w1_scale'] = w1_scale
 
     def slab_body(xs, C):
-        x0, los, L7s, plos, pL3s = xs
+        x0, los, L7s, Lc = xs
         vols_, pm512_, trans_mat_ = C['vols'], C['pm512'], C['trans_mat']
         w1_xyz_, b1_ = C['w1_xyz'], C['b1']
         w2_, b2_, w3_, b3_, w4_, b4_ = (C['w2'], C['b2'], C['w3'], C['b3'],
@@ -366,12 +451,12 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
 
         # ---- voxel features: slab-local variants + banded tap einsum -----
         parts = []
-        for si, f in enumerate(vols_):
+        for gi, f in enumerate(vols_):
             r_in = f.shape[0]
             ch = f.shape[-1]
-            r_max = L7s[si].shape[-1]
+            r_max = L7s[gi].shape[-1]
             sub = jax.lax.dynamic_slice(
-                f, (los[si], 0, 0, 0), (r_max, r_in, r_in, ch))
+                f, (los[gi], 0, 0, 0), (r_max, r_in, r_in, ch))
             dz = norm_shift(delta, r_in)
             z0 = resample_axis(sub, 2, R, 0.0, bb_min, bb_max)
             zp = resample_axis(sub, 2, R, dz, bb_min, bb_max)
@@ -383,43 +468,53 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                 (0, 1): resample_axis(zp, 1, R, 0.0, bb_min, bb_max),
                 (0, -1): resample_axis(zm, 1, R, 0.0, bb_min, bb_max),
             }
+            if structured:
+                # Taps 0-4 share the x-center band (TAPS x_sign == 0), so
+                # ONE un-batched einsum covers them with the tap axis
+                # folded into channels — natural output layout, free
+                # reshape (the t-batched 'syztc' formulation cost ~20
+                # ms/mesh of transpose copies + column-major reshapes).
+                Vcat = jnp.concatenate(
+                    [variants[key] for (_, key) in TAPS[:5]], axis=-1)
+                A5 = jnp.einsum('sr,ryzk->syzk', L7s[gi][0], Vcat,
+                                preferred_element_type=jnp.float32)
+                Axm = jnp.einsum('sr,ryzc->syzc', L7s[gi][5],
+                                 variants[(0, 0)],
+                                 preferred_element_type=jnp.float32)
+                Axp = jnp.einsum('sr,ryzc->syzc', L7s[gi][6],
+                                 variants[(0, 0)],
+                                 preferred_element_type=jnp.float32)
+                # (k, n)-major parts + 'kn,ko->no' matmul were also tried:
+                # bit-identical, same speed (the concat transpose just
+                # moves into the einsum epilogues) — row-major kept.
+                parts += [A5.astype(compute_dtype).reshape(n, 5 * ch),
+                          Axm.astype(compute_dtype).reshape(n, ch),
+                          Axp.astype(compute_dtype).reshape(n, ch)]
+                continue
             # (7, r, R, R, C): per-tap source rows (x-shifted taps reuse the
             # same slab row range; L7 encodes their shifted bands).
             V7 = jnp.stack([variants[key] for (_, key) in TAPS])
             if use_pallas:
                 # t-major: the batched matmul's NATIVE output layout — no
-                # transpose.  Round-2 profiling showed the 'syztc'
-                # transpose materializing the (n, 7C) stacks was the
-                # largest single decode cost (~0.2 s per 128^3 grid); the
-                # Pallas head consumes (7, n, C) directly.
-                A = jnp.einsum('tsr,tryzc->tsyzc', L7s[si], V7,
+                # transpose; the Pallas head consumes (7, n, C) directly.
+                A = jnp.einsum('tsr,tryzc->tsyzc', L7s[gi], V7,
                                preferred_element_type=jnp.float32)
                 parts.append(A.astype(compute_dtype).reshape(7, n, ch))
             else:
-                A = jnp.einsum('tsr,tryzc->syztc', L7s[si], V7,
+                A = jnp.einsum('tsr,tryzc->syztc', L7s[gi], V7,
                                preferred_element_type=jnp.float32)
                 parts.append(A.astype(compute_dtype).reshape(n, 7 * ch))
 
-        # ---- coarse-projected scales: banded x-lerp of the three folded
-        # (r_in, R, R, 512) volumes — their fc_0 contribution directly.
-        # All projected scales share one einsum: concatenating the source-
-        # row axis with a block-stacked banded matrix sums their
-        # contributions inside the matmul (single f32 output per slab). ----
+        # ---- coarse-projected scales: full-window x-lerp of the folded
+        # (r_in, R*R*512) volumes as ONE flattened matmul — their summed
+        # fc_0 contribution, single f32 output, row-major, no slices. ----
         coarse = None
-        if C['proj_vols']:
-            bands, Ls = [], []
-            for pi, Ustack in enumerate(C['proj_vols']):
-                r_max = pL3s[pi].shape[-1]
-                bands.append(jax.lax.dynamic_slice(
-                    Ustack, (0, plos[pi], 0, 0, 0),
-                    (3, r_max, R, R, Ustack.shape[-1])))
-                Ls.append(pL3s[pi])
-            band = (bands[0] if len(bands) == 1
-                    else jnp.concatenate(bands, axis=1))
-            L = Ls[0] if len(Ls) == 1 else jnp.concatenate(Ls, axis=-1)
-            coarse = jnp.einsum('tsr,tryzo->syzo', L, band,
-                                preferred_element_type=jnp.float32
-                                ).reshape(n, -1)
+        if C['Ucat'] is not None:
+            # (m,k,o)-ordered Ucat was also tried to dodge the f32 output
+            # relayout copy: no gain (0.216 vs 0.214) — (k,m,o) kept.
+            coarse = jnp.einsum('sk,kmo->smo', Lc, C['Ucat'],
+                                preferred_element_type=jnp.float32)
+            coarse = coarse.reshape(n, coarse.shape[-1])
 
         # ---- perceptual part (pre-projected 512-ch maps) -----------------
         world = grid_world_coords(R, x0, S, bb_min, bb_max)
@@ -469,7 +564,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                       preferred_element_type=jnp.float32) + b4_
         return sdf.reshape(S, R, R)
 
-    xss = (x0s, plan_los, plan_L7s, proj_los, proj_L3s)
+    xss = (x0s, plan_los, plan_L7s, Lcat)
 
     def scan_slabs(xss_, C):
         _, slabs = jax.lax.scan(lambda carry, xs: (None, slab_body(xs, C)),

@@ -77,7 +77,12 @@ def grid_sample_2d(image: jnp.ndarray, grid: jnp.ndarray, *,
     idx = jnp.stack([y0 * W + x0, y0 * W + x1,
                      y1 * W + x0, y1 * W + x1], axis=1)  # (B, 4, N)
     gidx = jnp.arange(B, dtype=idx.dtype)[:, None, None] * (H * W) + idx
-    vals = jnp.take(image.reshape(B * H * W, C), gidx.reshape(-1), axis=0)
+    # mode='clip': indices are in-bounds by construction (_corner_weights
+    # clips i0/i1 even for 'zeros' padding — the masks below handle OOB
+    # zeroing).  The default fill semantics materialize a broadcast-select
+    # over the full gathered values (26 ms per 128^3 mesh in the r3 trace).
+    vals = jnp.take(image.reshape(B * H * W, C), gidx.reshape(-1), axis=0,
+                    mode='clip')
     vals = vals.reshape(B, 4, N, C)
     v00, v01, v10, v11 = (vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3])
 
@@ -111,7 +116,8 @@ def grid_sample_3d(volume: jnp.ndarray, grid: jnp.ndarray, *,
 
     def gather(zi, yi, xi):
         idx = (zi * H + yi) * W + xi
-        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1,
+                                   mode='clip')
 
     def mask(vals, mz, my, mx):
         if padding_mode == 'zeros':
@@ -260,7 +266,7 @@ def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
         gidx = (jnp.arange(B, dtype=flats.dtype)[:, None, None] * M
                 + flats // g)
         rows = jnp.take(packed.reshape(B * M, g * C),
-                        gidx.reshape(-1), axis=0)
+                        gidx.reshape(-1), axis=0, mode='clip')
         rows = rows.reshape(B, 4, Np, g, C)
         if g == 1:  # unfolded scale (C == 128): the row IS the point
             vals = rows[:, :, :, 0]
@@ -337,7 +343,7 @@ def _fused_sample_packed(packed_feats, metas, pd: jnp.ndarray, group: int):
     for g0 in range(0, S, group):
         sub = list(range(g0, min(g0 + group, S)))
         idx = jnp.stack([gidx[s] for s in sub], axis=2)  # (B, 8, |sub|, Np)
-        rows = jnp.take(cat, idx.reshape(-1), axis=0).reshape(
+        rows = jnp.take(cat, idx.reshape(-1), axis=0, mode='clip').reshape(
             B, 8, len(sub), Np, w_max)
         for j, s in enumerate(sub):
             g = metas[s][4]

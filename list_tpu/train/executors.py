@@ -113,8 +113,10 @@ class CoarseNetExecutor(BaseExecutor):
         self._predict = jax.jit(self._predict_fn)
 
     def _init_variables(self, batch):
-        img = jnp.zeros_like(jnp.asarray(batch['rgb_image']))
-        return self.model.init(self._rng, img)
+        # batch-1 init: no parameter shape depends on the batch size.
+        img = jnp.asarray(batch['rgb_image'])
+        img1 = jnp.zeros((1,) + img.shape[1:], img.dtype)
+        return self.model.init(self._rng, img1)
 
     def _train_step_fn(self, state: TrainState, batch):
         def loss_fn(params):
@@ -188,10 +190,19 @@ class LISTExecutor(BaseExecutor):
         self._decode = jax.jit(self._decode_fn)
 
     def _init_variables(self, batch):
-        img = jnp.zeros_like(jnp.asarray(batch['rgb_image']))
-        # tiny query set for init (shape-independent params)
-        query = jnp.zeros((img.shape[0], 8, 3), img.dtype)
-        return self.model.init(self._rng, img, query)
+        # Init on a batch-1, vox_res-32 clone: no parameter or batch-stat
+        # shape depends on the voxel resolution or the batch size (convs
+        # and Dense layers are resolution-independent), and initializing
+        # through the full 128^3 batch-4 forward cost ~275 s of compile on
+        # this host.  The clone's init tree is bit-identical (same RNG
+        # split structure, same module graph).
+        img1 = jnp.zeros((1,) + jnp.asarray(batch['rgb_image']).shape[1:],
+                         jnp.asarray(batch['rgb_image']).dtype)
+        query = jnp.zeros((1, 8, 3), img1.dtype)
+        small = self.model
+        if getattr(self.model, 'vox_res', 32) > 32:
+            small = self.model.clone(vox_res=32)
+        return small.init(self._rng, img1, query)
 
     def calc_loss(self, pred, gt) -> Dict[str, jnp.ndarray]:
         occ_pred, sdf_pred = pred
@@ -307,10 +318,21 @@ class LISTExecutor(BaseExecutor):
                 and img.shape[0] == 1
         # The dense path scans shape-uniform x-slabs, so it needs a slab
         # size that divides vox_res; odd resolutions (e.g. 120, 125) fall
-        # back to the chunked decoder.  slab 16 measured fastest at 128^3
-        # (r3 sweep); above 192^3 smaller slabs bound the per-slab operand.
-        slab = next((s for s in ((16, 8, 4, 2) if self.vox_res <= 192
-                                 else (4, 2)) if self.vox_res % s == 0), None)
+        # back to the chunked decoder.  slab 64 measured fastest at 128^3
+        # after the structured-stack rework (r3 sweep: 0.214/0.216/0.228
+        # at 64/32/16; 128 crashes the remote compiler); above 192^3
+        # smaller slabs bound the per-slab operand.  On a
+        # multi-device mesh the slab count must also split evenly across
+        # the sharded axis (slab size drops until it does).
+        from list_tpu.parallel import DATA_AXIS, QUERY_AXIS
+        ndev = 1
+        for ax in (QUERY_AXIS, DATA_AXIS):
+            if ax in self.mesh.axis_names and self.mesh.shape[ax] > 1:
+                ndev = self.mesh.shape[ax]
+                break
+        pref = (64, 32, 16, 8, 4, 2) if self.vox_res <= 192 else (8, 4, 2)
+        slab = next((s for s in pref if self.vox_res % s == 0
+                     and (self.vox_res // s) % ndev == 0), None)
         if fast and slab is None:
             fast = False
         if fast:
@@ -321,7 +343,6 @@ class LISTExecutor(BaseExecutor):
                 and jax.devices()[0].platform != 'cpu'
             # Multi-device mesh: shard the x-slab scan over the query axis
             # (features replicated, no collectives — SURVEY §2.7).
-            from list_tpu.parallel import DATA_AXIS, QUERY_AXIS
             mesh_kw = {}
             for ax in (QUERY_AXIS, DATA_AXIS):
                 if ax in self.mesh.axis_names and self.mesh.shape[ax] > 1 \
@@ -332,7 +353,8 @@ class LISTExecutor(BaseExecutor):
                                   enc['vox_feat'], enc['feat_l2'],
                                   enc['trans_mat'], self.vox_res, slab=slab,
                                   bb_min=self.bb_min, bb_max=self.bb_max,
-                                  use_pallas=use_pallas, scan_unroll=2,
+                                  use_pallas=use_pallas,
+                                  scan_unroll=1 if slab >= 32 else 2,
                                   **mesh_kw)
             # divide on-device (the host-side 2.1M-float divide costs ~10 ms
             # on this 1-core host; on-device it fuses into the scan output)

@@ -510,8 +510,8 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         # fc_0 contribution, single f32 output, row-major, no slices. ----
         coarse = None
         if C['Ucat'] is not None:
-            # (m,k,o)-ordered Ucat was also tried to dodge the f32 output
-            # relayout copy: no gain (0.216 vs 0.214) — (k,m,o) kept.
+            # (m,k,o)-ordered Ucat, bf16 output, and an epilogue barrier on
+            # the fc_0 ReLU were all A/B'd: none beat this form.
             coarse = jnp.einsum('sk,kmo->smo', Lc, C['Ucat'],
                                 preferred_element_type=jnp.float32)
             coarse = coarse.reshape(n, coarse.shape[-1])
@@ -594,40 +594,6 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     else:
         slabs = scan_slabs(xss, consts)
     return slabs.reshape(R, R, R)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    'vox_res', 'slab', 'delta', 'compute_dtype', 'bb_min', 'bb_max',
-    'scan_unroll', 'coarse_proj'))
-def dense_grid_sdf_batch(decoder_params: Dict, vox_feats: List[jnp.ndarray],
-                         feat_l2: List[jnp.ndarray], trans_mat: jnp.ndarray,
-                         vox_res: int, slab: int = 8, delta: float = 0.0722,
-                         compute_dtype=jnp.bfloat16, bb_min: float = -0.5,
-                         bb_max: float = 0.5, scan_unroll: int = 1,
-                         coarse_proj: int = 16) -> jnp.ndarray:
-    """Batched dense decode: ``lax.map`` of ``dense_grid_sdf`` over meshes.
-
-    The test sweep evaluates thousands of independent shapes; the reference
-    loops one shape per device dispatch (test.py:85-110).  Batching B meshes
-    per dispatch amortizes the (batched) encoder pass and the host dispatch/
-    relay round trips.  ``lax.map`` (not vmap) on purpose: vmapping the slab
-    scan multiplies every buffer in its body by B, and at B=4 x 128^3 that
-    CRASHES the XLA TPU compiler (r3 measured, same remote-compile-helper
-    exit-1 signature as the fuse_sample_gathers blowup); the map body is the
-    unbatched single-mesh program, so compile size is independent of B.
-    vox_feats/feat_l2 arrays carry a leading batch axis B; returns
-    (B, R, R, R) raw SDF.  Single-device only (the multi-chip path shards
-    the slab scan instead — batch there by raising the data axis)."""
-
-    def one(args):
-        vf, fl, tm = args
-        return dense_grid_sdf(
-            decoder_params, [f[None] for f in vf], [f[None] for f in fl],
-            tm[None], vox_res, slab=slab, delta=delta,
-            compute_dtype=compute_dtype, bb_min=bb_min, bb_max=bb_max,
-            scan_unroll=scan_unroll, coarse_proj=coarse_proj)
-
-    return jax.lax.map(one, (vox_feats, feat_l2, trans_mat))
 
 
 def feat_l2_channels(feat_l2) -> int:

@@ -377,20 +377,27 @@ class LISTExecutor(BaseExecutor):
     def predict_grid_batch(self, rgb_images: np.ndarray,
                            trans_mats: Optional[np.ndarray] = None,
                            device_out: bool = False,
-                           fetch_dtype: Optional[str] = None) -> np.ndarray:
-        """Dense SDF fields for B images in ONE device dispatch.
+                           fetch_dtype: Optional[str] = None):
+        """Dense SDF fields for B images with ONE batched encoder pass.
 
-        The reference test sweep decodes one shape per dispatch
-        (test.py:85-110); batching amortizes the encoder pass and the
-        per-slab fixed costs of the dense decode across meshes.  Returns
-        (B, R, R, R); falls back to a predict_grid loop when the dense
-        path is unavailable (odd resolutions, multi-chip slab sharding)."""
+        The encoder is op-dispatch bound at batch 1 (two ResNet18s = many
+        tiny kernels: ~10 ms of device work inside a 42 ms wall, r3
+        trace), so the sweep encodes B images per dispatch and then runs
+        the per-mesh dense decode off slices of the batched encoding —
+        separate dispatches on purpose: a lax.map'd batched decode
+        measured slower (0.282 vs 0.252 s/mesh) and a vmapped one crashed
+        the XLA TPU compiler.  The reference test sweep is one shape per
+        dispatch end-to-end (test.py:85-110).
+
+        Returns a list of B (R, R, R) device arrays when device_out=True
+        (each independently fetchable, so the pipeline overlaps per-mesh
+        fetches), else a stacked (B, R, R, R) float32 numpy array."""
         if fetch_dtype is None:
             fetch_dtype = getattr(self.config, 'fetch_dtype', 'float32')
         wire = jnp.bfloat16 if fetch_dtype == 'bfloat16' else jnp.float32
         imgs = jnp.asarray(rgb_images)
-        slab = next((s for s in ((16, 8, 4, 2) if self.vox_res <= 192
-                                 else (4, 2)) if self.vox_res % s == 0), None)
+        pref = (64, 32, 16, 8, 4, 2) if self.vox_res <= 192 else (8, 4, 2)
+        slab = next((s for s in pref if self.vox_res % s == 0), None)
         fast = bool(getattr(self.config, 'fast_grid', 1)) and slab is not None
         multichip = any(self.mesh.shape[ax] > 1 for ax in self.mesh.axis_names)
         if not fast or multichip:
@@ -399,20 +406,24 @@ class LISTExecutor(BaseExecutor):
                 None if trans_mats is None else trans_mats[i:i + 1],
                 device_out=True, fetch_dtype=fetch_dtype)
                 for i in range(imgs.shape[0])]
-            out = jnp.stack(grids)
         else:
-            from list_tpu.ops.dense_grid import dense_grid_sdf_batch
+            from list_tpu.ops.dense_grid import dense_grid_sdf
             enc = self._encode(self.state, imgs,
                                None if trans_mats is None
                                else jnp.asarray(trans_mats))
-            grid = dense_grid_sdf_batch(
-                self.state.params['sdf_decoder'], enc['vox_feat'],
-                enc['feat_l2'], enc['trans_mat'], self.vox_res, slab=slab,
-                bb_min=self.bb_min, bb_max=self.bb_max, scan_unroll=2)
-            out = (grid / self.sdf_scale).astype(wire)
+            grids = []
+            for i in range(imgs.shape[0]):
+                g = dense_grid_sdf(
+                    self.state.params['sdf_decoder'],
+                    [f[i:i + 1] for f in enc['vox_feat']],
+                    [f[i:i + 1] for f in enc['feat_l2']],
+                    enc['trans_mat'][i:i + 1], self.vox_res, slab=slab,
+                    bb_min=self.bb_min, bb_max=self.bb_max,
+                    scan_unroll=1 if slab >= 32 else 2)
+                grids.append((g / self.sdf_scale).astype(wire))
         if device_out:
-            return out
-        return np.asarray(out).astype(np.float32)
+            return grids
+        return np.stack([np.asarray(g).astype(np.float32) for g in grids])
 
     def test(self, batch, eval_pred: bool = False):
         img = batch['rgb_image']

@@ -122,23 +122,26 @@ def test_dense_coarse_projected_matches(tiny_setup):
     np.testing.assert_allclose(pal, plain, atol=2e-4, rtol=1e-3)
 
 
-def test_dense_batch_matches_per_mesh(tiny_setup):
-    """dense_grid_sdf_batch (vmap over the mesh axis) reproduces the
-    per-mesh dense decode exactly on a 2-image batch."""
-    from list_tpu.ops.dense_grid import dense_grid_sdf_batch
+def test_batched_encode_slices_match_per_image(tiny_setup):
+    """The --infer_batch sweep encodes B images in one dispatch and runs
+    the dense decode off slices of the batched encoding (executors.
+    predict_grid_batch).  Eval-mode BatchNorm is batch-independent, so a
+    sliced batched encode must reproduce the per-image path exactly."""
     model, vars_, _, R = tiny_setup
     imgs = jnp.asarray(np.random.RandomState(3).rand(2, 32, 32, 3),
                        jnp.float32)
     enc = model.apply(vars_, imgs, method=model.encode)
-    batched = np.asarray(dense_grid_sdf_batch(
-        vars_['params']['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
-        enc['trans_mat'], R, slab=4, compute_dtype=jnp.float32))
-    assert batched.shape == (2, R, R, R)
     for i in range(2):
-        single = np.asarray(dense_grid_sdf(
+        batched_slice = np.asarray(dense_grid_sdf(
             vars_['params']['sdf_decoder'],
             [f[i:i + 1] for f in enc['vox_feat']],
             [f[i:i + 1] for f in enc['feat_l2']],
             enc['trans_mat'][i:i + 1], R, slab=4,
             compute_dtype=jnp.float32))
-        np.testing.assert_allclose(batched[i], single, atol=1e-5, rtol=1e-5)
+        enc1 = model.apply(vars_, imgs[i:i + 1], method=model.encode)
+        single = np.asarray(dense_grid_sdf(
+            vars_['params']['sdf_decoder'], enc1['vox_feat'],
+            enc1['feat_l2'], enc1['trans_mat'], R, slab=4,
+            compute_dtype=jnp.float32))
+        np.testing.assert_allclose(batched_slice, single,
+                                   atol=1e-5, rtol=1e-5)

@@ -175,9 +175,13 @@ def main():
     # it is dominated by the axon relay's 0.3-4 s round-trip latency —
     # pure tunnel weather a real TPU host (PCIe DMA) never pays; the r1/r2
     # headline regressions tracked the relay, not the framework.
+    # 5 fetch workers: the relay's per-stream bandwidth is bursty (probed
+    # 21-37 MB/s aggregate across concurrent streams vs <1 MB/s stalls on
+    # a single stream, tools/probe_fetch.py) — matches the production
+    # pipeline's dedicated fetch pool.
     from concurrent.futures import ThreadPoolExecutor
-    n_meshes = 6
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    n_meshes = 8
+    with ThreadPoolExecutor(max_workers=5) as pool:
         pool.submit(lambda: None).result()  # warm the pool
         t0 = time.time()
         # device grids ride the host link in bf16 (--fetch_dtype default;
@@ -208,7 +212,7 @@ def main():
         for g in ex.predict_grid_batch(imgs4, device_out=True):  # compile
             _fetch(np.asarray(g[0, 0, :8]))
         reps = 2
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=5) as pool:
             pool.submit(lambda: None).result()
             t0 = time.time()
             futs = []

@@ -210,11 +210,14 @@ def _build_parser() -> ArgumentParser:
                              'so batching N scales through one shared '
                              'flat buffer trades a (B, 8, N, 7*chunk, '
                              '128) transient for 1/N the gather ops. '
-                             '0 (default) keeps per-scale takes. '
+                             '0 (default) keeps per-scale 2-plane takes; '
+                             '1 fuses the two z-planes of each scale '
+                             'into ONE take (half the gather ops, no '
+                             'cross-scale buffer). '
                              'Measured on v5e (r3 A/B): N=3 and N=6 '
                              'CRASH the XLA TPU compiler on the batch-4 '
                              'step (remote-compile helper exit 1); keep '
-                             '0 on TPU. Exact value+grad parity is '
+                             '0 or 1 on TPU. Exact value+grad parity is '
                              'tested on CPU.')
     parser.add_argument('--sort_queries', type=int, default=0,
                         help='Sort training queries by voxel cell inside the '

@@ -6,12 +6,13 @@ mesh extraction; accumulate per-category metrics into a CSV with an appended
 mean row.  Supports manual test-set sharding via --chunk_s/--chunk_l.
 
 TPU-first addition: device grid evaluation of shape i+1 overlaps the
-host-side marching cubes + KD-tree/ray-stab eval of shape i.  The host work
-runs on a single worker thread (depth-1 pipeline: the main thread waits for
-shape i's host work to finish before submitting shape i+1's, preserving
-order and bounding memory); the native mesh/eval routines are ctypes calls
-that release the GIL, so the overlap is real.  Executors without a
-``predict_grid`` (CoarseNet) fall back to the serial per-shape path.
+host-side marching cubes + KD-tree/ray-stab eval of shape i.  A dedicated
+fetch pool streams up to 4 meshes' device->host grid transfers
+concurrently (np.asarray releases the GIL), while marching cubes + eval
+run on a single ordered worker thread (the native routines are ctypes
+calls that release the GIL, so the overlap is real); the pipeline is
+bounded at 4 meshes in flight.  Executors without a ``predict_grid``
+(CoarseNet) fall back to the serial per-shape path.
 """
 
 from __future__ import annotations
@@ -74,10 +75,20 @@ def _device_infer(executor, dataset, cat_id, shape_id, output_dir, cam_id):
     return batch, fname, pred_values
 
 
+def _fetch_f32(pred_values) -> np.ndarray:
+    """Device->host fetch + f32 upcast (bf16 --fetch_dtype wire); runs on
+    the fetch pool so several meshes' host-link transfers proceed while
+    the device computes and the host worker meshes (the harness relay's
+    bandwidth is bursty — a single serialized fetch stream can stall the
+    whole sweep for seconds per mesh)."""
+    return np.asarray(pred_values).astype(np.float32)
+
+
 def _host_finish(executor, batch, fname, pred_values, eval_pred
                  ) -> Dict[str, float]:
     """Host part of one shape: marching cubes + save + eval (worker thread;
-    mesh/eval natives release the GIL)."""
+    mesh/eval natives release the GIL).  ``pred_values`` may be a Future
+    from the fetch pool (already-started device->host transfer)."""
     if pred_values is None:
         try:
             pred = load_mesh(fname + '_pred.obj')
@@ -87,8 +98,10 @@ def _host_finish(executor, batch, fname, pred_values, eval_pred
         except Exception:
             pred_values = executor.predict_grid(batch['rgb_image'],
                                                 batch.get('transmat'))
-    # fetch here (worker thread); bf16 wire dtype (--fetch_dtype) upcast
-    # on host — marching cubes wants f32
+    if hasattr(pred_values, 'result'):  # fetch-pool future
+        pred_values = pred_values.result()
+    # upcast if the fetch didn't already (bf16 --fetch_dtype wire; marching
+    # cubes wants f32)
     pred_values = np.asarray(pred_values).astype(np.float32)
     mesh = generate_mesh(pred_values, executor.bb_min, executor.bb_max,
                          as_trimesh_obj=True)
@@ -145,7 +158,14 @@ def test_all(config) -> Optional[str]:
 
     overlap = hasattr(executor, 'predict_grid')
     pool = ThreadPoolExecutor(max_workers=1) if overlap else None
-    pending = None  # (future, cat_id, shape_id, cam_id, shape_start)
+    # Dedicated fetch pool: device->host grid transfers for up to 4 meshes
+    # proceed concurrently with device compute AND the (serial) host
+    # meshing worker.  Probed on the harness relay (tools/probe_fetch.py):
+    # concurrent streams sustain 21-37 MB/s where one stream can stall at
+    # <1 MB/s for seconds of "tunnel weather"; on a real PCIe host this
+    # just overlaps DMA with MC.
+    fetch_pool = ThreadPoolExecutor(max_workers=4) if overlap else None
+    pipeline_depth = 4  # meshes in flight (device grid + host f32 copies)
 
     eval_start = time.time()
     done = 0
@@ -217,7 +237,7 @@ def test_all(config) -> Optional[str]:
                 grids = executor.predict_grid_batch(imgs, tms,
                                                     device_out=True)
                 for i, e in enumerate(uncached):
-                    e[3] = grids[i]
+                    e[3] = fetch_pool.submit(_fetch_f32, grids[i])
             drain()
             for batch, fname, meta, vals in entries:
                 pendings.append(
@@ -225,6 +245,8 @@ def test_all(config) -> Optional[str]:
                                  vals, config.eval_pred), meta))
         drain()
     else:
+        from collections import deque
+        pendings_q = deque()  # (future, *meta), up to pipeline_depth deep
         for batch_idx, data in enumerate(
                 testset.datalist[start_idx:start_idx + chunk]):
             cat_id = data['cat_id']
@@ -237,13 +259,16 @@ def test_all(config) -> Optional[str]:
                     batch, fname, vals = _device_infer(
                         executor, testset, cat_id, shape_id, output_dir,
                         cam_id)
-                    if pending is not None:
-                        fut, *meta = pending
+                    if vals is not None:
+                        vals = fetch_pool.submit(_fetch_f32, vals)
+                    while len(pendings_q) >= pipeline_depth:
+                        fut, *meta = pendings_q.popleft()
                         record(fut.result(), *meta)
-                    pending = (pool.submit(_host_finish, executor, batch,
-                                           fname, vals, config.eval_pred),
-                               cat_id, shape_id, cam_id, shape_start,
-                               batch_idx)
+                    pendings_q.append(
+                        (pool.submit(_host_finish, executor, batch,
+                                     fname, vals, config.eval_pred),
+                         cat_id, shape_id, cam_id, shape_start,
+                         batch_idx))
                 else:
                     eval_score = test_one_without_gttransmat(
                         executor, testset, cat_id, shape_id, output_dir,
@@ -251,11 +276,13 @@ def test_all(config) -> Optional[str]:
                     record(eval_score, cat_id, shape_id, cam_id, shape_start,
                            batch_idx)
 
-        if pending is not None:
-            fut, *meta = pending
+        while pendings_q:
+            fut, *meta = pendings_q.popleft()
             record(fut.result(), *meta)
     if pool is not None:
         pool.shutdown(wait=True)
+    if fetch_pool is not None:
+        fetch_pool.shutdown(wait=True)
 
     logline = f'{config.exp_name} Test: epoch {epoch + 1:03d} '
     denom = max(config.chunk_l, 1)

@@ -227,8 +227,8 @@ def pack_cmajor(f: jnp.ndarray, dtype=None):
     return ft.reshape(B, D * H * W // g, g * C), (D, H, W, C, g)
 
 
-def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
-                       ) -> jnp.ndarray:
+def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray,
+                       fuse_planes: bool = False) -> jnp.ndarray:
     """Trilinear border/align-corners sample of one packed scale.
     packed: (B, M, g*C); pd: (B, Np, 3) normalized coords -> (B, Np, C).
 
@@ -237,7 +237,13 @@ def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
     showed ~1 s/step of fixed per-gather-op index copies/slices — the
     train step is gather-latency bound (459 GB at 169 GB/s, 0.4% MFU), so
     op count, not bytes, is the cost driver.  Corner batching keeps the
-    peak gathered intermediate at (B, 4*Np, g*C)."""
+    peak gathered intermediate at (B, 4*Np, g*C).
+
+    fuse_planes=True additionally batches BOTH z-planes into a single
+    take (1 gather op per trilinear sample); numerically identical — the
+    corner order within the (B, 8, Np) index block matches the two
+    sequential plane() calls — at the cost of a 2x larger (B, 8, Np, g*C)
+    gathered transient."""
     D, H, W, C, g = meta
     B, Np, _ = pd.shape
     x = _unnormalize(pd[..., 0], W, True)
@@ -253,29 +259,41 @@ def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray
 
     M = packed.shape[1]
 
-    def plane(zi):
+    def _flats(zi):
         base = zi * H
-        flats = jnp.stack([(base + y0) * W + x0, (base + y0) * W + x1,
-                           (base + y1) * W + x0, (base + y1) * W + x1],
-                          axis=1)  # (B, 4, Np)
+        return jnp.stack([(base + y0) * W + x0, (base + y0) * W + x1,
+                          (base + y1) * W + x0, (base + y1) * W + x1],
+                         axis=1)  # (B, 4, Np)
+
+    def _take_select(flats):
         # flat global-index take over (B*M, gC): avoids take_along_axis's
         # layout-transposing s32 index copies (measured 1.6x faster on the
         # dense path, CLAUDE.md).  A dense one-hot-matmul variant for the
         # 8^3 scale was tried and rejected: its (B, 4, 7N, 512) one-hot
         # costs ~2 GB peak HBM and OOMs the no-decode-remat batch-4 step.
+        k = flats.shape[1]
         gidx = (jnp.arange(B, dtype=flats.dtype)[:, None, None] * M
                 + flats // g)
         rows = jnp.take(packed.reshape(B * M, g * C),
                         gidx.reshape(-1), axis=0, mode='clip')
-        rows = rows.reshape(B, 4, Np, g, C)
+        rows = rows.reshape(B, k, Np, g, C)
         if g == 1:  # unfolded scale (C == 128): the row IS the point
-            vals = rows[:, :, :, 0]
-        else:
-            oh = jax.nn.one_hot(flats % g, g, dtype=rows.dtype)
-            vals = jnp.einsum('bkng,bkngc->bknc', oh, rows)
+            return rows[:, :, :, 0]
+        oh = jax.nn.one_hot(flats % g, g, dtype=rows.dtype)
+        return jnp.einsum('bkng,bkngc->bknc', oh, rows)
+
+    def _lerp4(vals):  # (B, 4, Np, C) corners of one z-plane
         top = vals[:, 0] * (1 - wx) + vals[:, 1] * wx
         bot = vals[:, 2] * (1 - wx) + vals[:, 3] * wx
         return top * (1 - wy) + bot * wy
+
+    if fuse_planes:
+        vals = _take_select(jnp.concatenate([_flats(z0), _flats(z1)],
+                                            axis=1))  # (B, 8, Np, C)
+        return _lerp4(vals[:, :4]) * (1 - wz) + _lerp4(vals[:, 4:]) * wz
+
+    def plane(zi):
+        return _lerp4(_take_select(_flats(zi)))
 
     return plane(z0) * (1 - wz) + plane(z1) * wz
 
@@ -372,9 +390,12 @@ def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
     """Packed equivalent of models.voxel.sample_multiscale: same 7
     displacement taps, same (c*7+d) channel ordering, same numerics.
 
-    fuse_group >= 2 batches the per-scale gathers ``fuse_group`` scales at
-    a time through one shared flat buffer (``_fused_sample_packed``) —
-    fewer, bigger gather ops for the latency-bound train step."""
+    fuse_group == 1 fuses the two z-plane gathers of EACH scale into one
+    take (6 gather ops for the 6-scale pyramid instead of 12, no cross-
+    scale shared buffer); fuse_group >= 2 batches the per-scale gathers
+    ``fuse_group`` scales at a time through one shared flat buffer
+    (``_fused_sample_packed``) — fewer, bigger gather ops for the
+    latency-bound train step."""
     from list_tpu.models.voxel import make_displacements
 
     B, N, _ = p.shape
@@ -383,7 +404,8 @@ def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
     if fuse_group >= 2 and len(packed_feats) > 1:
         samples = _fused_sample_packed(packed_feats, metas, pd, fuse_group)
     else:
-        samples = [_sample_packed_one(packed, meta, pd)
+        samples = [_sample_packed_one(packed, meta, pd,
+                                      fuse_planes=fuse_group == 1)
                    for packed, meta in zip(packed_feats, metas)]
     outs = []
     for s, meta in zip(samples, metas):

@@ -105,10 +105,11 @@ def test_packed_sampler_matches_general(rng):
 
 
 def test_fused_packed_sampler_matches(rng):
-    """Cross-scale fused gather (--fuse_sample_gathers) is numerically
-    identical to the per-scale packed sampler; the (8,1)/(8,2)/(4,4)/(2,8)
-    scales have unequal lane widths, exercising the pad path, and group=3
-    leaves a ragged final group."""
+    """Fused gathers (--fuse_sample_gathers) are numerically identical to
+    the per-scale packed sampler: group=1 (per-scale z-plane fusion, one
+    8-corner take per scale), and cross-scale groups — the (8,1)/(8,2)/
+    (4,4)/(2,8) scales have unequal lane widths, exercising the pad path,
+    and group=3 leaves a ragged final group."""
     import jax.numpy as jnp
     from list_tpu.models.voxel import sample_multiscale
     from list_tpu.ops.sampling import (pack_channels_last,
@@ -123,7 +124,7 @@ def test_fused_packed_sampler_matches(rng):
         metas.append(m_)
     p = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 33, 3)).astype(np.float32))
     ref = np.asarray(sample_multiscale(feats, p))
-    for group in (2, 3, 4):
+    for group in (1, 2, 3, 4):
         got = np.asarray(sample_multiscale_packed(packed, metas, p,
                                                   fuse_group=group))
         np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
@@ -152,7 +153,8 @@ def test_fused_packed_sampler_grad_matches(rng):
                                                     fuse_group=fuse))
 
     g0 = jax.grad(lambda pk: loss(pk, 0))(packed)
-    g3 = jax.grad(lambda pk: loss(pk, 3))(packed)
-    for a, b in zip(g0, g3):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   atol=1e-5, rtol=1e-5)
+    for fuse in (1, 3):
+        gf = jax.grad(lambda pk: loss(pk, fuse))(packed)
+        for a, b in zip(g0, gf):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5, rtol=1e-5)

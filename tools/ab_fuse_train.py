@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""On-chip A/B: --fuse_sample_gathers {0,3,6} on the batch-4 train step.
+"""On-chip A/B: --fuse_sample_gathers variants on the batch-4 train step
+(fuse values from argv, default 0 vs 1).
 
 Same measurement protocol as bench.py's train section: amortized over 4
 chained steps with one terminal fetch, relay RTT subtracted.
@@ -16,19 +17,23 @@ def _fetch(x):
 
 
 def measure(fuse, rng):
+    import os
+
     import jax
     from list_tpu.config import default_config
     from list_tpu.models import LIST
     from list_tpu.train.executors import LISTExecutor
     from list_tpu.parallel.mesh import shard_batch
 
-    bsz = 4
+    bsz = int(os.environ.get('AB_BATCH', '4'))
     cfg = default_config(sdf_scale=10.0, vox_res=128,
                          train_batch_size=bsz,
                          sample_point_density=32768,
                          sample_distribution=[1.0],
-                         remat_decode=0,
-                         train_query_chunks=2,
+                         # bench.py's per-batch-size choices: batch 8 needs
+                         # remat'd chunks=4 (chunks=2 crashes the compiler)
+                         remat_decode=0 if bsz <= 4 else -1,
+                         train_query_chunks=2 if bsz <= 4 else 4,
                          fuse_sample_gathers=fuse)
     model = LIST.from_config(cfg)
     ex = LISTExecutor(cfg, model)
@@ -53,7 +58,7 @@ def measure(fuse, rng):
     rtt = float(np.median(rtts))
 
     batch = shard_batch(ex.mesh, batch)
-    out = {'fuse': fuse, 'compile_s': round(compile_s, 1),
+    out = {'fuse': fuse, 'batch': bsz, 'compile_s': round(compile_s, 1),
            'rtt_s': round(rtt, 3)}
     steps = []
     for rep in range(3):
@@ -79,7 +84,9 @@ def main():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     rng = np.random.RandomState(0)
     results = []
-    for fuse in (0, 3, 6):
+    fuses = ([int(a) for a in sys.argv[1:]] if len(sys.argv) > 1
+             else [0, 1])
+    for fuse in fuses:
         try:
             r = measure(fuse, rng)
         except Exception as e:

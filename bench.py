@@ -94,7 +94,13 @@ def main():
                                   # (remote-compile helper exit 1, r3
                                   # measured; chunks=4 runs 4.02 s/step)
                                   remat_decode=0 if bsz <= 4 else -1,
-                                  train_query_chunks=2 if bsz <= 4 else 4)
+                                  train_query_chunks=2 if bsz <= 4 else 4,
+                                  # z-plane-fused takes win at batch 8
+                                  # (3.769 vs 3.865 s/step, r3 A/B); the
+                                  # remat'd decode re-streams the gather
+                                  # fleet, so halving gather-op count pays
+                                  # there but is neutral at batch 4.
+                                  fuse_sample_gathers=0 if bsz <= 4 else 1)
             bmodel = LIST.from_config(bcfg)  # --remat default applies
             bex = LISTExecutor(bcfg, bmodel)
             batch = {

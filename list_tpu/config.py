@@ -214,11 +214,14 @@ def _build_parser() -> ArgumentParser:
                              '1 fuses the two z-planes of each scale '
                              'into ONE take (half the gather ops, no '
                              'cross-scale buffer). '
-                             'Measured on v5e (r3 A/B): N=3 and N=6 '
-                             'CRASH the XLA TPU compiler on the batch-4 '
-                             'step (remote-compile helper exit 1); keep '
-                             '0 or 1 on TPU. Exact value+grad parity is '
-                             'tested on CPU.')
+                             'Measured on v5e (r3 A/B): 1 is neutral at '
+                             'batch 4 (1.405 vs 1.396 s/step) and wins '
+                             'at batch 8 (3.769 vs 3.865 — the remat '
+                             'decode re-streams the gather fleet, so op '
+                             'count pays there); N=3 and N=6 CRASH the '
+                             'XLA TPU compiler (remote-compile helper '
+                             'exit 1); keep 0 or 1 on TPU. Exact '
+                             'value+grad parity is tested on CPU.')
     parser.add_argument('--sort_queries', type=int, default=0,
                         help='Sort training queries by voxel cell inside the '
                              'train step (points/values permuted together - '

@@ -77,6 +77,8 @@ def main():
     # ~20 min on this host and it OOMs without a pristine chip).
     import os
     sizes = (8, 4) if os.environ.get('BENCH_TRY_B8') else (4,)
+    if os.environ.get('BENCH_SKIP_TRAIN'):  # inference-only iteration
+        sizes = ()
     for bsz in sizes:
         try:
             bcfg = default_config(sdf_scale=10.0, vox_res=128,

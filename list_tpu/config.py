@@ -222,6 +222,14 @@ def _build_parser() -> ArgumentParser:
                              'XLA TPU compiler (remote-compile helper '
                              'exit 1); keep 0 or 1 on TPU. Exact '
                              'value+grad parity is tested on CPU.')
+    parser.add_argument('--remat_save_samples', type=int, default=0,
+                        help='Under decode remat, save the named sampled '
+                             'feature stacks instead of recomputing them: '
+                             'the remat backward then skips the forward '
+                             're-gather fleet at ~340 MB/chunk (vox bf16) '
+                             '+ ~135 MB/chunk (percep f32) of extra live '
+                             'HBM. 0 = full remat; 1 = save vox samples; '
+                             '2 = save vox + percep.')
     parser.add_argument('--sort_queries', type=int, default=0,
                         help='Sort training queries by voxel cell inside the '
                              'train step (points/values permuted together - '

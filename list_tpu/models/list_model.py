@@ -107,6 +107,14 @@ class LIST(nn.Module):
     # training sampler (the step is gather-latency bound; fewer, bigger
     # takes).  0 keeps the per-scale takes.
     fuse_gather: int = 0
+    # --remat_save_samples: under decode remat, SAVE the named sampled
+    # stacks ('decode_vox', optionally 'decode_percep') instead of
+    # recomputing them — the remat backward then skips the forward
+    # re-gather fleet (measured ~0.6 s/step of the batch-8 backward scan)
+    # at the cost of keeping ~340 MB (vox, bf16) + ~135 MB (percep, f32)
+    # live per chunk.  0 = plain full remat; 1 = save vox; 2 = save
+    # vox + percep.
+    remat_save_samples: int = 0
     # Split the training query axis into this many rematerialized chunks:
     # the reference holds the full (B, 3610, N) first-layer activation live
     # (modules.py:276); at batch 8 x 32,441 queries that is ~3.8 GB f32 and
@@ -125,6 +133,8 @@ class LIST(nn.Module):
                    remat_decode=(None if rd < 0 else bool(rd)),
                    fuse_gather=int(
                        getattr(config, 'fuse_sample_gathers', 0)),
+                   remat_save_samples=int(
+                       getattr(config, 'remat_save_samples', 0)),
                    train_query_chunks=int(
                        getattr(config, 'train_query_chunks', 4)))
 
@@ -242,7 +252,15 @@ class LIST(nn.Module):
             dec_remat = (self.remat if self.remat_decode is None
                          else self.remat_decode)
             if dec_remat:
-                body = nn.remat(body, prevent_cse=False)
+                policy = None
+                if self.remat_save_samples:
+                    import jax
+                    names = ['decode_vox']
+                    if self.remat_save_samples >= 2:
+                        names.append('decode_percep')
+                    policy = jax.checkpoint_policies \
+                        .save_only_these_names(*names)
+                body = nn.remat(body, prevent_cse=False, policy=policy)
             scan = nn.scan(body, variable_broadcast=['params', 'batch_stats'],
                            split_rngs={}, in_axes=1, out_axes=1)
             _, sdf = scan(self, None, qs)  # body sees (B, nc, 3) chunks

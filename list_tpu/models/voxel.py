@@ -202,6 +202,14 @@ class VoxelDecoder2(nn.Module):
                                            fuse_group=self.fuse_gather)
         else:
             vox = sample_multiscale(feat, p, self.delta)
+        # Named for the selective decode-remat policy
+        # (--remat_save_samples): saving the sampled stack lets the remat
+        # backward skip the forward re-gathers (the 6-scale gather fleet)
+        # while everything else still rematerializes.  checkpoint_name is
+        # an identity outside jax.checkpoint.
+        from jax.ad_checkpoint import checkpoint_name
+        vox = checkpoint_name(vox, 'decode_vox')
+        percep_feat = checkpoint_name(percep_feat, 'decode_percep')
         x = jnp.concatenate([vox, percep_feat, p], axis=-1)
         dims = [self.h_dim * 2, self.h_dim, self.h_dim]
         names = ['fc_0', 'fc_1', 'fc_2']

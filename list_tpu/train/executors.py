@@ -188,6 +188,17 @@ class LISTExecutor(BaseExecutor):
         self._train_step = _maybe_checkify(config, self._train_step_fn)
         self._encode = jax.jit(self._encode_fn)
         self._decode = jax.jit(self._decode_fn)
+        # Fused per-mesh inference: encode + dense decode + sdf_scale divide
+        # + wire cast in ONE dispatch.  The relay charges ~30 ms of
+        # non-overlapped wall per dispatch (the batch-1 encoder is ~10 ms
+        # of device work in a 42 ms wall), so collapsing the 3-dispatch
+        # predict path is worth ~0.05 s/mesh on the sweep.
+        _statics = ('slab', 'use_pallas', 'scan_unroll', 'wire_name',
+                    'mesh', 'shard_axis')
+        self._predict_dense = jax.jit(self._predict_dense_fn,
+                                      static_argnames=_statics)
+        self._dense_finish = jax.jit(self._dense_finish_fn,
+                                     static_argnames=_statics)
 
     def _init_variables(self, batch):
         # Init on a batch-1, vox_res-32 clone: no parameter or batch-stat
@@ -255,6 +266,31 @@ class LISTExecutor(BaseExecutor):
                                  'batch_stats': state.batch_stats}, query,
                                 enc, method=self.model.decode_sdf)
 
+    def _dense_finish_fn(self, params_dec, vox_feat, feat_l2, trans_mat, *,
+                         slab, use_pallas, scan_unroll, wire_name,
+                         mesh=None, shard_axis=None):
+        """Dense decode + on-device sdf_scale divide + wire cast (one
+        jitted unit; nested dense_grid_sdf jit inlines)."""
+        from list_tpu.ops.dense_grid import dense_grid_sdf
+        mesh_kw = ({'mesh': mesh, 'shard_axis': shard_axis}
+                   if mesh is not None and shard_axis is not None else {})
+        grid = dense_grid_sdf(params_dec, vox_feat, feat_l2, trans_mat,
+                              self.vox_res, slab=slab, bb_min=self.bb_min,
+                              bb_max=self.bb_max, use_pallas=use_pallas,
+                              scan_unroll=scan_unroll, **mesh_kw)
+        wire = jnp.bfloat16 if wire_name == 'bfloat16' else jnp.float32
+        return (grid / self.sdf_scale).astype(wire)
+
+    def _predict_dense_fn(self, state: TrainState, img, trans_mat=None, *,
+                          slab, use_pallas, scan_unroll, wire_name,
+                          mesh=None, shard_axis=None):
+        enc = self._encode_fn(state, img, trans_mat)
+        return self._dense_finish_fn(
+            state.params['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
+            enc['trans_mat'], slab=slab, use_pallas=use_pallas,
+            scan_unroll=scan_unroll, wire_name=wire_name, mesh=mesh,
+            shard_axis=shard_axis)
+
     # -- training ------------------------------------------------------------
     def train(self, batch, calc_loss: bool = True):
         keep = {k: batch[k] for k in ('rgb_image', 'points', 'values', 'occ')}
@@ -310,9 +346,7 @@ class LISTExecutor(BaseExecutor):
             fetch_dtype = getattr(self.config, 'fetch_dtype', 'float32')
         wire = jnp.bfloat16 if fetch_dtype == 'bfloat16' else jnp.float32
         img = jnp.asarray(rgb_image)
-        enc = self._encode(self.state, img,
-                           None if trans_mat is None
-                           else jnp.asarray(trans_mat))
+        tm = None if trans_mat is None else jnp.asarray(trans_mat)
         if fast is None:
             fast = bool(getattr(self.config, 'fast_grid', 1)) \
                 and img.shape[0] == 1
@@ -336,32 +370,29 @@ class LISTExecutor(BaseExecutor):
         if fast and slab is None:
             fast = False
         if fast:
-            from list_tpu.ops.dense_grid import dense_grid_sdf
             # --use_pallas: fused fc0+MLP kernel (TPU only; the Mosaic
             # kernel has no CPU lowering — XLA fallback elsewhere).
             use_pallas = bool(getattr(self.config, 'use_pallas', 0)) \
                 and jax.devices()[0].platform != 'cpu'
             # Multi-device mesh: shard the x-slab scan over the query axis
             # (features replicated, no collectives — SURVEY §2.7).
-            mesh_kw = {}
+            mesh_kw = {'mesh': None, 'shard_axis': None}
             for ax in (QUERY_AXIS, DATA_AXIS):
                 if ax in self.mesh.axis_names and self.mesh.shape[ax] > 1 \
                         and (self.vox_res // slab) % self.mesh.shape[ax] == 0:
                     mesh_kw = {'mesh': self.mesh, 'shard_axis': ax}
                     break
-            grid = dense_grid_sdf(self.state.params['sdf_decoder'],
-                                  enc['vox_feat'], enc['feat_l2'],
-                                  enc['trans_mat'], self.vox_res, slab=slab,
-                                  bb_min=self.bb_min, bb_max=self.bb_max,
-                                  use_pallas=use_pallas,
-                                  scan_unroll=1 if slab >= 32 else 2,
-                                  **mesh_kw)
-            # divide on-device (the host-side 2.1M-float divide costs ~10 ms
-            # on this 1-core host; on-device it fuses into the scan output)
-            out = (grid / self.sdf_scale).astype(wire)
+            # ONE dispatch: encode + decode + on-device sdf_scale divide +
+            # wire cast (the host-side 2.1M-float divide cost ~10 ms, and
+            # each extra dispatch ~30 ms of relay wall)
+            out = self._predict_dense(self.state, img, tm, slab=slab,
+                                      use_pallas=use_pallas,
+                                      scan_unroll=1 if slab >= 32 else 2,
+                                      wire_name=fetch_dtype, **mesh_kw)
             if device_out:
                 return out
             return np.asarray(out).astype(np.float32)
+        enc = self._encode(self.state, img, tm)
         qsh = query_sharding(self.mesh)
         vals = []
         for chunk in self._get_grid_chunks():
@@ -394,7 +425,6 @@ class LISTExecutor(BaseExecutor):
         fetches), else a stacked (B, R, R, R) float32 numpy array."""
         if fetch_dtype is None:
             fetch_dtype = getattr(self.config, 'fetch_dtype', 'float32')
-        wire = jnp.bfloat16 if fetch_dtype == 'bfloat16' else jnp.float32
         imgs = jnp.asarray(rgb_images)
         pref = (64, 32, 16, 8, 4, 2) if self.vox_res <= 192 else (8, 4, 2)
         slab = next((s for s in pref if self.vox_res % s == 0), None)
@@ -407,20 +437,20 @@ class LISTExecutor(BaseExecutor):
                 device_out=True, fetch_dtype=fetch_dtype)
                 for i in range(imgs.shape[0])]
         else:
-            from list_tpu.ops.dense_grid import dense_grid_sdf
             enc = self._encode(self.state, imgs,
                                None if trans_mats is None
                                else jnp.asarray(trans_mats))
             grids = []
             for i in range(imgs.shape[0]):
-                g = dense_grid_sdf(
+                # one dispatch per mesh: decode + divide + wire cast fused
+                grids.append(self._dense_finish(
                     self.state.params['sdf_decoder'],
                     [f[i:i + 1] for f in enc['vox_feat']],
                     [f[i:i + 1] for f in enc['feat_l2']],
-                    enc['trans_mat'][i:i + 1], self.vox_res, slab=slab,
-                    bb_min=self.bb_min, bb_max=self.bb_max,
-                    scan_unroll=1 if slab >= 32 else 2)
-                grids.append((g / self.sdf_scale).astype(wire))
+                    enc['trans_mat'][i:i + 1], slab=slab,
+                    use_pallas=False,
+                    scan_unroll=1 if slab >= 32 else 2,
+                    wire_name=fetch_dtype))
         if device_out:
             return grids
         return np.stack([np.asarray(g).astype(np.float32) for g in grids])

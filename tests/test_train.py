@@ -145,6 +145,31 @@ def test_sort_queries_loss_parity():
                                    err_msg=f'loss {k} diverged under sorting')
 
 
+def test_remat_save_samples_loss_parity():
+    """--remat_save_samples changes only WHAT the decode remat saves
+    (jax.checkpoint policy) — losses and the updated state must be
+    identical to full remat."""
+    results = {}
+    for save in (0, 1, 2):
+        cfg = tiny_cfg(remat=1, remat_decode=1, train_query_chunks=2,
+                       remat_save_samples=save)
+        model = LIST.from_config(cfg)
+        model = model.clone(point_feat=tuple(cfg.point_feat),
+                            point_degree=tuple(cfg.point_degree),
+                            im_enc_layers=tuple(cfg.im_enc_layers),
+                            h_dim=8, support=2)
+        ex = LISTExecutor(cfg, model)
+        batch, _ = make_batch(cfg)
+        ex.init_state(batch)
+        _, losses = ex.train(batch)
+        results[save] = {k: float(v) for k, v in losses.items()}
+    for save in (1, 2):
+        for k in results[0]:
+            np.testing.assert_allclose(
+                results[save][k], results[0][k], rtol=1e-6,
+                err_msg=f'loss {k} diverged under remat_save_samples={save}')
+
+
 def test_list_inference_mesh(list_exec, tmp_path):
     ex, batch, ds = list_exec
     td = ds.get_testdata('synthetic', '0', 0)

@@ -34,6 +34,9 @@ def measure(fuse, rng):
                          # remat'd chunks=4 (chunks=2 crashes the compiler)
                          remat_decode=0 if bsz <= 4 else -1,
                          train_query_chunks=2 if bsz <= 4 else 4,
+                         sort_queries=int(os.environ.get('AB_SORT', '0')),
+                         remat_save_samples=int(
+                             os.environ.get('AB_SAVE', '0')),
                          fuse_sample_gathers=fuse)
     model = LIST.from_config(cfg)
     ex = LISTExecutor(cfg, model)
@@ -58,8 +61,10 @@ def measure(fuse, rng):
     rtt = float(np.median(rtts))
 
     batch = shard_batch(ex.mesh, batch)
-    out = {'fuse': fuse, 'batch': bsz, 'compile_s': round(compile_s, 1),
-           'rtt_s': round(rtt, 3)}
+    out = {'fuse': fuse, 'batch': bsz,
+           'save_samples': int(os.environ.get('AB_SAVE', '0')),
+           'sort': int(os.environ.get('AB_SORT', '0')),
+           'compile_s': round(compile_s, 1), 'rtt_s': round(rtt, 3)}
     steps = []
     for rep in range(3):
         n_steps = 4

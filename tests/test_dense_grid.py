@@ -115,6 +115,16 @@ def test_dense_coarse_projected_matches(tiny_setup):
         *args, slab=4, compute_dtype=jnp.float32, coarse_proj=8))
     np.testing.assert_allclose(projd, plain, atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(projd, sdf_general, atol=2e-4, rtol=1e-3)
+    # the hoisted whole-grid coarse x-lerp (auto at R<=128) equals the
+    # in-scan banded form (auto above 128, where the hoisted volume
+    # would not fit HBM)
+    inside = np.asarray(dense_grid_sdf(
+        *args, slab=4, compute_dtype=jnp.float32, coarse_proj=8,
+        coarse_outside=False))
+    outside = np.asarray(dense_grid_sdf(
+        *args, slab=4, compute_dtype=jnp.float32, coarse_proj=8,
+        coarse_outside=True))
+    np.testing.assert_allclose(inside, outside, atol=2e-4, rtol=1e-3)
     # pallas head variant (interpret) with the projected path
     pal = np.asarray(dense_grid_sdf(
         *args, slab=4, compute_dtype=jnp.float32, coarse_proj=8,

@@ -56,11 +56,14 @@ def main():
     out = {}
     ref = None
     for v in variants:
-        slab, unroll, cp = (int(x) for x in v.split(','))
-        key = f'slab{slab}_u{unroll}_cp{cp}'
+        fields = [int(x) for x in v.split(',')]
+        slab, unroll, cp = fields[:3]
+        # optional 4th field: coarse_outside (-1 = auto/None)
+        co = None if len(fields) < 4 or fields[3] < 0 else bool(fields[3])
+        key = f'slab{slab}_u{unroll}_cp{cp}_co{-1 if co is None else int(co)}'
         try:
             g = dense_grid_sdf(*dargs, slab=slab, scan_unroll=unroll,
-                               coarse_proj=cp)
+                               coarse_proj=cp, coarse_outside=co)
             if ref is None:
                 ref = np.asarray(g)
             else:
@@ -69,7 +72,7 @@ def main():
                 out[key + '_maxdiff'] = d
             med, reps = t(lambda: _fetch(dense_grid_sdf(
                 *dargs, slab=slab, scan_unroll=unroll,
-                coarse_proj=cp)[0, 0, 0]))
+                coarse_proj=cp, coarse_outside=co)[0, 0, 0]))
             out[key] = med
             out[key + '_reps'] = reps
         except Exception as e:

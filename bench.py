@@ -264,7 +264,8 @@ def main():
         extras['encode_s'] = round(_t(lambda: _fetch(
             ex._encode(ex.state, jimg)['trans_mat'])), 4)
         from list_tpu.ops.dense_grid import dense_grid_sdf
-        dkw = dict(slab=64, scan_unroll=1)  # XLA head (production default)
+        # production default at 128^3: structured split-parts fused head
+        dkw = dict(slab=64, scan_unroll=1, use_pallas=2)
         dargs = (ex.state.params['sdf_decoder'], enc['vox_feat'],
                  enc['feat_l2'], enc['trans_mat'], 128)
         decode_s = _t(lambda: _fetch(
@@ -299,18 +300,31 @@ def main():
         args256 = (ex.state.params['sdf_decoder'], enc['vox_feat'],
                    enc['feat_l2'], enc['trans_mat'], 256)
         _fetch(dense_grid_sdf(*args256, **kw).astype(jnp.bfloat16)[:8])
-        # pipelined like the headline: the relay fetch of mesh i (bf16
-        # wire, 32 MB like predict_grid's --fetch_dtype) overlaps the
-        # device decode of mesh i+1
+        # device-only decode (one-element fetch fence): the compute truth,
+        # immune to relay weather.  r3 finding: the r2 7.9 s / early-r3
+        # 13.9 s "256^3 regressions" were entirely the 32 MB grid fetches
+        # riding a stalled relay (2-worker pool); device decode measured
+        # 1.58 s all along (tools/ab_decode256.py; XLA head beats the
+        # Pallas head 1.58 vs 2.00 at 256^3 as well).
+        ts256 = []
+        for _ in range(3):
+            t0 = time.time()
+            _fetch(dense_grid_sdf(*args256, **kw)[0, 0, 0])
+            ts256.append(time.time() - t0)
+        extras['decode_s_256'] = round(float(np.median(ts256)), 3)
+        # pipelined like the headline: bf16-wire grid fetches (32 MB each)
+        # overlap the device decode of later meshes on a 5-worker pool
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        n256 = 4
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            pool.submit(lambda: None).result()
             t0 = time.time()
             futs = [pool.submit(
-                np.asarray,
+                lambda g: np.asarray(g).astype(np.float32),
                 dense_grid_sdf(*args256, **kw).astype(jnp.bfloat16))
-                    for _ in range(2)]
-            gs256 = [f.result().astype(np.float32) for f in futs]
-            sec_256 = (time.time() - t0) / 2
+                    for _ in range(n256)]
+            gs256 = [f.result() for f in futs]
+            sec_256 = (time.time() - t0) / n256
         assert all(np.isfinite(g).all() for g in gs256)
         extras['sec_per_mesh_256'] = round(sec_256, 3)
         extras['qps_256'] = round(256 ** 3 / sec_256, 1)

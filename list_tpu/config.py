@@ -183,13 +183,16 @@ def _build_parser() -> ArgumentParser:
                              'pipeline (fetch overlap beats dispatch '
                              'amortization) — keep 1 unless dispatch '
                              'latency dominates your deployment.')
-    parser.add_argument('--use_pallas', type=int, default=0,
-                        help='Fused fc0+MLP Pallas kernel for the dense SDF '
-                             'decode on TPU (1) or the pure-XLA path (0, '
-                             'default). Since the round-3 coarse-projected '
-                             'restructure the XLA head is faster on v5e '
-                             '(0.23 vs 0.41 s per 128^3); the kernel '
-                             'remains available and parity-tested. '
+    parser.add_argument('--use_pallas', type=int, default=-1,
+                        help='Dense-decode head: -1 (default) auto-selects '
+                             'per resolution; 0 pure-XLA head; 1 per-scale '
+                             't-major fused kernel (r2; loses to XLA on '
+                             'v5e, 0.41 vs 0.21 per 128^3); 2 structured '
+                             'split-parts fused head (fc_0 accumulation + '
+                             'MLP tail in VMEM, no stack concat — beats '
+                             'XLA 0.2122 vs 0.2136 at 128^3, r3 A/B). '
+                             'Auto: 2 at vox_res<=192, 0 at larger (256^3 '
+                             'measured faster on the XLA head). '
                              'Non-TPU backends always use XLA.')
     parser.add_argument('--remat', type=int, default=1,
                         help='Rematerialize the voxel encoder in training to '

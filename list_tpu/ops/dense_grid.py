@@ -288,8 +288,21 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     b1 = decoder_params['fc_0']['bias']
     n_vox_rows = sum(channels) * 7
     n_percep = feat_l2_channels(feat_l2)
-    if use_pallas:
+    # use_pallas modes: 0/False = pure XLA head; 1/True = per-scale t-major
+    # fused_fc0_mlp kernel (r2; loses to XLA at 128^3); 2 = structured-stack
+    # fused_stack_head kernel (r3: same stack/coarse/percep production as
+    # the XLA head, but fc_0 + ReLU + tail run in VMEM).
+    use_pallas = int(use_pallas)
+    if use_pallas == 1:
         fuse_scales = False
+    # fused-head kernel tile: largest power-of-two divisor of n <= 512
+    # (512 fits VMEM comfortably, see fused_stack_head docstring); ragged
+    # n falls back to the XLA head.
+    _n = slab * R * R
+    pl_tile = next((t for t in (512, 256, 128, 64) if _n % t == 0),
+                   _n if _n <= 1024 else None)
+    if use_pallas == 2 and (pl_tile is None or not fuse_scales):
+        use_pallas = 0
 
     # ---- scale partition: coarse scales go through the projected path ----
     # Scales whose source resolution is <= coarse_proj (default: the 16^3
@@ -317,7 +330,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     # its output layout is natural (the r3 trace showed ~20 ms/mesh of
     # 'syztc' transpose copies + column-major reshapes from the t-batched
     # formulation).  W rows are permuted to match.
-    structured = fuse_scales and not use_pallas
+    structured = fuse_scales and use_pallas != 1
     if structured:
         groups = []
         for si in kept:
@@ -326,9 +339,25 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                 groups[-1] = groups[-1] + (si,)
             else:
                 groups.append((si,))
-        w1_vox = jnp.concatenate(
-            [w1[:n_vox_rows][jnp.asarray(_group_w1_rows(channels, g))]
-             for g in groups]).astype(compute_dtype)
+        if use_pallas == 2:
+            # per-part fc_0 row blocks matching the un-concatenated
+            # structured parts ([A5 | Ax- | Ax+] per group): the fused
+            # head accumulates part @ block in VMEM, skipping the
+            # (n, 791) stack concat entirely.
+            w1_parts = []
+            for g in groups:
+                rows = _group_w1_rows(channels, g)
+                cg = sum(channels[si] for si in g)
+                for sl in (slice(0, 5 * cg), slice(5 * cg, 6 * cg),
+                           slice(6 * cg, 7 * cg)):
+                    w1_parts.append(jnp.asarray(
+                        w1[:n_vox_rows][jnp.asarray(rows[sl])],
+                        compute_dtype))
+            w1_vox = None
+        else:
+            w1_vox = jnp.concatenate(
+                [w1[:n_vox_rows][jnp.asarray(_group_w1_rows(channels, g))]
+                 for g in groups]).astype(compute_dtype)
     elif fuse_scales:
         w1_vox = jnp.concatenate(
             [jnp.take(w1[:n_vox_rows], _rows(si), axis=0)
@@ -457,7 +486,9 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         'w1_xyz': w1_xyz, 'b1': b1, 'w2': w2, 'b2': b2, 'w3': w3, 'b3': b3,
         'w4': w4, 'b4': b4,
     }
-    if fuse_scales:
+    if fuse_scales and use_pallas == 2:
+        consts['w1_parts'] = w1_parts
+    elif fuse_scales:
         consts['w1_vox'] = w1_vox
     else:
         consts['w1_scale'] = w1_scale
@@ -514,7 +545,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
             # (7, r, R, R, C): per-tap source rows (x-shifted taps reuse the
             # same slab row range; L7 encodes their shifted bands).
             V7 = jnp.stack([variants[key] for (_, key) in TAPS])
-            if use_pallas:
+            if use_pallas == 1:
                 # t-major: the batched matmul's NATIVE output layout — no
                 # transpose; the Pallas head consumes (7, n, C) directly.
                 A = jnp.einsum('tsr,tryzc->tsyzc', L7s[gi], V7,
@@ -548,7 +579,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         pc_xy = jnp.clip(pc_xy, 0.0, float(ms - 1))
         percep = _bilinear_flat(pm512_[0], pc_xy[0])
 
-        if use_pallas:
+        if use_pallas == 1:
             from list_tpu.ops.pallas.fused_fc0 import fused_fc0_mlp
             p512 = percep.astype(jnp.float32)
             if coarse is not None:
@@ -561,6 +592,17 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
             return sdf.reshape(S, R, R)
 
         if fuse_scales:
+            if use_pallas == 2:
+                # fused structured head: per-part fc_0 accumulation (no
+                # (n, 791) stack concat) + coarse/percep/xyz adds + ReLU
+                # + MLP tail in one Pallas kernel — the (n, 512) f32
+                # activations and both ReLU intermediates stay in VMEM.
+                from list_tpu.ops.pallas.fused_fc0 import fused_stack_head
+                sdf = fused_stack_head(
+                    parts, coarse, percep, q[0], C['w1_parts'],
+                    w1_xyz_, b1_, w2_, b2_, w3_, b3_, w4_, b4_,
+                    tile=pl_tile, interpret=pallas_interpret)
+                return sdf.reshape(S, R, R)
             stack = jnp.concatenate(parts, axis=-1)  # (n, 7*sum(C_kept))
             fc0 = jnp.dot(stack, C['w1_vox'],
                           preferred_element_type=jnp.float32)

@@ -73,6 +73,144 @@ def _kernel(n_scales, channels):
     return kernel
 
 
+def _stack_kernel(n_parts, has_coarse):
+    def kernel(*refs):
+        # refs: [part_0..part_{P-1} (T, K_i), coarse? (T, 512),
+        #        percep (T, 512), qxyz (T, 8), w1_0..w1_{P-1} (K_i, 512),
+        #        w1_xyz, b1, w2, b2, w3, b3, w4pad, b4pad, out, acc]
+        i = 0
+        parts = refs[:n_parts]; i += n_parts
+        coarse = None
+        if has_coarse:
+            coarse = refs[i]; i += 1
+        percep = refs[i]; i += 1
+        qxyz = refs[i]; i += 1
+        w1s = refs[i:i + n_parts]; i += n_parts
+        (w1_xyz, b1, w2, b2, w3, b3, w4, b4, out, acc) = refs[i:]
+
+        acc[:] = jnp.dot(parts[0][:], w1s[0][:],
+                         preferred_element_type=jnp.float32)
+        for p in range(1, n_parts):
+            acc[:] += jnp.dot(parts[p][:], w1s[p][:],
+                              preferred_element_type=jnp.float32)
+        acc[:] += percep[:].astype(jnp.float32)
+        if has_coarse:
+            acc[:] += coarse[:].astype(jnp.float32)
+        q = qxyz[:].astype(jnp.float32)  # (T, 8) padded; cols 0..2 valid
+        wx = w1_xyz[:]
+        acc[:] += (q[:, 0:1] * wx[0:1, :] + q[:, 1:2] * wx[1:2, :]
+                   + q[:, 2:3] * wx[2:3, :] + b1[:])
+
+        dt = parts[0].dtype
+        h = jnp.maximum(acc[:], 0.0).astype(dt)
+        h = jnp.dot(h, w2[:], preferred_element_type=jnp.float32) + b2[:]
+        h = jnp.maximum(h, 0.0).astype(dt)
+        h = jnp.dot(h, w3[:], preferred_element_type=jnp.float32) + b3[:]
+        h = jnp.maximum(h, 0.0).astype(dt)
+        o = jnp.dot(h, w4[:], preferred_element_type=jnp.float32)
+        out[:] = o + b4[:]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'interpret'))
+def fused_stack_head(parts: Sequence[jnp.ndarray], coarse,
+                     percep: jnp.ndarray,
+                     qxyz: jnp.ndarray, w1_parts: Sequence[jnp.ndarray],
+                     w1_xyz: jnp.ndarray, b1: jnp.ndarray,
+                     w2: jnp.ndarray, b2: jnp.ndarray,
+                     w3: jnp.ndarray, b3: jnp.ndarray,
+                     w4: jnp.ndarray, b4: jnp.ndarray,
+                     tile: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """Fused fc_0 + bias + ReLU + MLP tail over the STRUCTURED stack parts.
+
+    Unlike :func:`fused_fc0_mlp` (per-scale t-major stacks, 42 K<=128
+    partial matmuls), this consumes what the production XLA head already
+    produces — the structured stack parts ([A5 | Ax- | Ax+] per scale
+    group, (n, K_i) row-major each) with their matching permuted fc_0 row
+    blocks — WITHOUT the (n, 791) concatenate (~21 ms/mesh in the r3
+    slab-64 trace: 6.6 GB of pure copy).  fc_0 accumulates per part in a
+    VMEM f32 scratch, and the (n, 512) activations plus both ReLU
+    intermediates never touch HBM between layers.
+
+    parts: sequence of (n, K_i) compute-dtype structured stack parts.
+    coarse: optional (n, 512) summed coarse-projected fc_0 contribution
+    (hoisted ``Cslabs`` slice, bf16, or the in-scan f32 einsum output —
+    dtype preserved, upcast in VMEM; absorbing the add here also kills
+    the XLA path's bf16->f32 convert pass, ~10 ms/mesh).
+    percep: (n, 512) pre-projected perceptual features.
+    qxyz: (n, 3) f32 normalized coords.  Returns (n,) f32 raw SDF.
+
+    VMEM at tile=512 (v5e, sum K_i = 791): double-buffered blocks
+    2*(512*791*2 + 512*512*4 + 512*512*2 + 512*8*4) ~= 5.3 MB, resident
+    weights ~1.5 MB, f32 acc 1 MB, out 0.5 MB — comfortably under the
+    16 MB core budget (fused_fc0 lesson: oversubscription crashes the
+    remote-compile helper, not a clean error).
+    """
+    parts = list(parts)
+    n = parts[0].shape[0]
+    Ks = tuple(int(p.shape[1]) for p in parts)
+    assert n % tile == 0, (n, tile)
+    d1 = w2.shape[0]
+    dt = parts[0].dtype
+    has_coarse = coarse is not None
+
+    qpad = jnp.zeros((n, 8), jnp.float32).at[:, :3].set(
+        qxyz.astype(jnp.float32))
+    wxyz = jnp.zeros((8, d1), jnp.float32).at[:3].set(
+        w1_xyz.astype(jnp.float32))
+    w4p = jnp.zeros((w4.shape[0], OUT_PAD), dt).at[:, :1].set(w4.astype(dt))
+    b4p = jnp.zeros((1, OUT_PAD), jnp.float32).at[:, :1].set(
+        b4.astype(jnp.float32).reshape(1, -1))
+
+    grid = (n // tile,)
+    row = lambda i: (i, 0)
+    const = lambda i: (0, 0)
+
+    in_specs = [pl.BlockSpec((tile, K), row, memory_space=pltpu.VMEM)
+                for K in Ks]
+    operands = list(parts)
+    if has_coarse:
+        in_specs.append(pl.BlockSpec((tile, d1), row,
+                                     memory_space=pltpu.VMEM))
+        operands.append(coarse)
+    in_specs += [
+        pl.BlockSpec((tile, d1), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 8), row, memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec((K, d1), const, memory_space=pltpu.VMEM)
+                 for K in Ks]
+    in_specs += [
+        pl.BlockSpec((8, d1), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d1), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(w2.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, w2.shape[1]), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(w3.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, w3.shape[1]), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((w4.shape[0], OUT_PAD), const,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, OUT_PAD), const, memory_space=pltpu.VMEM)]
+    operands += [percep, qpad]
+    operands += [w.astype(dt) for w in w1_parts]
+    operands += [wxyz,
+                 b1.astype(jnp.float32).reshape(1, -1),
+                 w2.astype(dt), b2.astype(jnp.float32).reshape(1, -1),
+                 w3.astype(dt), b3.astype(jnp.float32).reshape(1, -1),
+                 w4p, b4p]
+
+    out = pl.pallas_call(
+        _stack_kernel(len(parts), has_coarse),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, OUT_PAD), row,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, OUT_PAD), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile, d1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return out[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=('tile', 'interpret'))
 def fused_fc0_mlp(stacks: Sequence[jnp.ndarray], percep: jnp.ndarray,
                   qxyz: jnp.ndarray, w1_scales: Sequence[jnp.ndarray],

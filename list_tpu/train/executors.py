@@ -370,10 +370,16 @@ class LISTExecutor(BaseExecutor):
         if fast and slab is None:
             fast = False
         if fast:
-            # --use_pallas: fused fc0+MLP kernel (TPU only; the Mosaic
-            # kernel has no CPU lowering — XLA fallback elsewhere).
-            use_pallas = bool(getattr(self.config, 'use_pallas', 0)) \
-                and jax.devices()[0].platform != 'cpu'
+            # --use_pallas: fused dense-decode head mode (TPU only; the
+            # Mosaic kernels have no CPU lowering — XLA fallback
+            # elsewhere).  -1 auto-selects: the structured split-parts
+            # fused head (2) wins at <=192^3 (0.2122 vs 0.2136 per 128^3,
+            # r3 interleaved A/B), the XLA head (0) at 256^3.
+            use_pallas = int(getattr(self.config, 'use_pallas', -1))
+            if use_pallas < 0:
+                use_pallas = 2 if self.vox_res <= 192 else 0
+            if jax.devices()[0].platform == 'cpu':
+                use_pallas = 0
             # Multi-device mesh: shard the x-slab scan over the query axis
             # (features replicated, no collectives — SURVEY §2.7).
             mesh_kw = {'mesh': None, 'shard_axis': None}

@@ -60,10 +60,15 @@ def main():
         slab, unroll, cp = fields[:3]
         # optional 4th field: coarse_outside (-1 = auto/None)
         co = None if len(fields) < 4 or fields[3] < 0 else bool(fields[3])
-        key = f'slab{slab}_u{unroll}_cp{cp}_co{-1 if co is None else int(co)}'
+        # optional 5th field: use_pallas mode (0 XLA, 1 t-major kernel,
+        # 2 fused structured-stack head)
+        up = fields[4] if len(fields) > 4 else 0
+        key = (f'slab{slab}_u{unroll}_cp{cp}'
+               f'_co{-1 if co is None else int(co)}_p{up}')
         try:
             g = dense_grid_sdf(*dargs, slab=slab, scan_unroll=unroll,
-                               coarse_proj=cp, coarse_outside=co)
+                               coarse_proj=cp, coarse_outside=co,
+                               use_pallas=up)
             if ref is None:
                 ref = np.asarray(g)
             else:
@@ -72,7 +77,8 @@ def main():
                 out[key + '_maxdiff'] = d
             med, reps = t(lambda: _fetch(dense_grid_sdf(
                 *dargs, slab=slab, scan_unroll=unroll,
-                coarse_proj=cp, coarse_outside=co)[0, 0, 0]))
+                coarse_proj=cp, coarse_outside=co,
+                use_pallas=up)[0, 0, 0]))
             out[key] = med
             out[key + '_reps'] = reps
         except Exception as e:

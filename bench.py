@@ -102,7 +102,13 @@ def main():
                                   # remat'd decode re-streams the gather
                                   # fleet, so halving gather-op count pays
                                   # there but is neutral at batch 4.
-                                  fuse_sample_gathers=0 if bsz <= 4 else 1)
+                                  fuse_sample_gathers=0 if bsz <= 4 else 1,
+                                  # saving the sampled vox stacks under
+                                  # decode remat skips the backward's
+                                  # re-gather: 3.169 vs 3.769 s/step at
+                                  # batch 8 (r3 A/B, fits HBM); untested
+                                  # gain at batch 4 (no decode remat).
+                                  remat_save_samples=0 if bsz <= 4 else 1)
             bmodel = LIST.from_config(bcfg)  # --remat default applies
             bex = LISTExecutor(bcfg, bmodel)
             batch = {

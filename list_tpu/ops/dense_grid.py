@@ -146,14 +146,13 @@ def _group_w1_rows(channels: Sequence[int], group: Sequence[int]
     return np.asarray(rows, np.int64)
 
 
-def _bilinear_flat(pm: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample of pm (H, W, C) at pixel coords xy (n, 2) already
-    clipped to [0, W-1]x[0, H-1].
+def _bilinear_corners(pm: jnp.ndarray, xy: jnp.ndarray):
+    """4-corner gather for bilinear sampling of pm (H, W, C) at pixel
+    coords xy (n, 2) already clipped to [0, W-1]x[0, H-1].
 
-    Equivalent to ops.sampling.grid_sample_2d on the dense path's clipped
-    coordinates, but gathers from a flat (H*W, C) array with jnp.take —
-    measured 1.6x faster than the batched take_along_axis gather on v5e
-    (144 ms vs 227 ms per 128^3 grid)."""
+    Returns (vals (4, n, C), wx (n, 1), wy (n, 1)); the lerp is left to
+    the caller (the fused head does it in VMEM, skipping the (n, C)
+    percep write+read the XLA path pays)."""
     H, W, _ = pm.shape
     flat = pm.reshape(H * W, -1)
     x, y = xy[:, 0], xy[:, 1]
@@ -170,6 +169,18 @@ def _bilinear_flat(pm: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     # clip mode: idx is in-bounds by construction; fill mode's broadcast-
     # select over the gathered (4n, 512) values cost 26 ms/mesh (r3 trace)
     vals = jnp.take(flat, idx, axis=0, mode='clip').reshape(4, n, -1)
+    return vals, wx, wy
+
+
+def _bilinear_flat(pm: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of pm (H, W, C) at pixel coords xy (n, 2) already
+    clipped to [0, W-1]x[0, H-1].
+
+    Equivalent to ops.sampling.grid_sample_2d on the dense path's clipped
+    coordinates, but gathers from a flat (H*W, C) array with jnp.take —
+    measured 1.6x faster than the batched take_along_axis gather on v5e
+    (144 ms vs 227 ms per 128^3 grid)."""
+    vals, wx, wy = _bilinear_corners(pm, xy)
     top = vals[0] * (1 - wx) + vals[1] * wx
     bot = vals[2] * (1 - wx) + vals[3] * wx
     return top * (1 - wy) + bot * wy

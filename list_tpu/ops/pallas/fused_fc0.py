@@ -76,7 +76,8 @@ def _kernel(n_scales, channels):
 def _stack_kernel(n_parts, has_coarse):
     def kernel(*refs):
         # refs: [part_0..part_{P-1} (T, K_i), coarse? (T, 512),
-        #        percep (T, 512), qxyz (T, 8), w1_0..w1_{P-1} (K_i, 512),
+        #        percep4 (4, T, 512), qxyz (T, 8),
+        #        w1_0..w1_{P-1} (K_i, 512),
         #        w1_xyz, b1, w2, b2, w3, b3, w4pad, b4pad, out, acc]
         i = 0
         parts = refs[:n_parts]; i += n_parts
@@ -137,7 +138,10 @@ def fused_stack_head(parts: Sequence[jnp.ndarray], coarse,
     (hoisted ``Cslabs`` slice, bf16, or the in-scan f32 einsum output —
     dtype preserved, upcast in VMEM; absorbing the add here also kills
     the XLA path's bf16->f32 convert pass, ~10 ms/mesh).
-    percep: (n, 512) pre-projected perceptual features.
+    percep: (n, 512) pre-projected perceptual features (the in-kernel
+    4-corner bilinear lerp was A/B'd and is 1.7x SLOWER — the
+    (4, tile, 512) corner blocks DMA four strided regions per tile;
+    keep the XLA lerp outside).
     qxyz: (n, 3) f32 normalized coords.  Returns (n,) f32 raw SDF.
 
     VMEM at tile=512 (v5e, sum K_i = 791): double-buffered blocks

@@ -261,7 +261,8 @@ def _scan_x_plans(R: int, r_in: int, S: int, delta: float,
 @functools.partial(jax.jit, static_argnames=(
     'vox_res', 'slab', 'delta', 'compute_dtype', 'bb_min', 'bb_max',
     'fuse_scales', 'use_pallas', 'pallas_interpret', 'scan_unroll',
-    'mesh', 'shard_axis', 'coarse_proj', 'coarse_outside'))
+    'mesh', 'shard_axis', 'coarse_proj', 'coarse_outside',
+    'hoist_variants'))
 def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    feat_l2: List[jnp.ndarray], trans_mat: jnp.ndarray,
                    vox_res: int, slab: int = 8, delta: float = 0.0722,
@@ -271,7 +272,8 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    scan_unroll: int = 1, mesh=None,
                    shard_axis: Optional[str] = None,
                    coarse_proj: int = 16,
-                   coarse_outside: Optional[bool] = None) -> jnp.ndarray:
+                   coarse_outside: Optional[bool] = None,
+                   hoist_variants: Optional[bool] = None) -> jnp.ndarray:
     """Dense (vox_res^3) SDF evaluation for batch size 1.
 
     decoder_params: the VoxelDecoder2 param subtree {fc_0, fc_1, fc_2,
@@ -292,6 +294,17 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     shard_map — features/weights replicated, each device evaluates its
     contiguous block of x-slabs, no collectives (the queries are
     embarrassingly parallel; SURVEY §2.7 query-chunk parallelism at scale).
+
+    hoist_variants (auto at R <= 128): build each kept group's five
+    z/y-resampled tap variants ONCE for the full volume outside the scan
+    instead of per slab.  The per-slab x-windows overlap (r_max ~ S +
+    2*4.6 rows at 128^3), so the in-scan form recomputes the z/y lerp
+    chain ~1.6-2.4x; slicing x first or z/y-resampling first commute
+    exactly (the resamples never touch the x axis).  Costs the hoisted
+    Vcat volumes (~1 GB bf16 at 128^3) — auto-gated off at 256^3 like
+    ``coarse_outside``.  When a group's source resolution equals R the
+    center-tap x-plan is the identity (positions land exactly on input
+    rows), and its 5-tap einsum is replaced by a static slab slice.
     """
     R = vox_res
     channels = tuple(int(f.shape[-1]) for f in vox_feats)
@@ -409,6 +422,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     ent_vols = [(vols[g[0]] if len(g) == 1
                  else jnp.concatenate([vols[si] for si in g], axis=-1))
                 for g in ents]
+    ent_chs = tuple(sum(channels[si] for si in g) for g in ents)
     plan_los, plan_L7s = [], []
     for g in ents:
         los, L7s = _scan_x_plans(R, vols[g[0]].shape[0], S, delta,
@@ -416,6 +430,42 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         plan_los.append(jnp.asarray(los))
         plan_L7s.append(jnp.asarray(L7s, compute_dtype))
     x0s = jnp.arange(0, R, S, dtype=jnp.int32)
+
+    # ---- hoisted z/y tap variants (structured path; auto at small slabs,
+    # where the per-slab x-windows overlap most: window ~ S + 2*4.6 rows
+    # at 128^3, so slab 8/16 recompute the z/y chain 2.4x/1.6x while slab
+    # 64 only 1.16x — measured on v5e: slab16 0.219 hoisted vs 0.239,
+    # slab8 0.222 vs 0.300, but slab64 (production 128^3) 0.225 vs 0.211,
+    # where the hoisted volumes' extra write+read exceeds the saving. ----
+    if hoist_variants is None:
+        hoist_variants = R <= 128 and S <= 16
+    hoist = bool(hoist_variants) and structured
+    # center-tap x-plan identity per entity (static): holds when r_in == R
+    # and the output positions land exactly on input rows (w == 0).
+    ent_ident = []
+    for f in ent_vols:
+        i0, i1, w = _axis_plan(R, f.shape[0], 0.0, bb_min, bb_max)
+        ent_ident.append(bool((w == 0).all()
+                              and (i0 == np.arange(R)).all()))
+    ent_ident = tuple(ent_ident)
+    if hoist:
+        hoisted = []
+        for f in ent_vols:
+            r_in = f.shape[0]
+            dzf = norm_shift(delta, r_in)
+            z0 = resample_axis(f, 2, R, 0.0, bb_min, bb_max)
+            zp = resample_axis(f, 2, R, dzf, bb_min, bb_max)
+            zm = resample_axis(f, 2, R, -dzf, bb_min, bb_max)
+            var_full = {
+                (0, 0): resample_axis(z0, 1, R, 0.0, bb_min, bb_max),
+                (1, 0): resample_axis(z0, 1, R, dzf, bb_min, bb_max),
+                (-1, 0): resample_axis(z0, 1, R, -dzf, bb_min, bb_max),
+                (0, 1): resample_axis(zp, 1, R, 0.0, bb_min, bb_max),
+                (0, -1): resample_axis(zm, 1, R, 0.0, bb_min, bb_max),
+            }
+            hoisted.append(jnp.concatenate(
+                [var_full[key] for (_, key) in TAPS[:5]], axis=-1))
+        ent_vols = hoisted  # scan body consumes (r_in, R, R, 5*ch) Vcats
 
     # ---- coarse-projected volumes (once per decode, outside the scan) ----
     proj_vols, proj_Ls = [], []
@@ -514,6 +564,32 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         # ---- voxel features: slab-local variants + banded tap einsum -----
         parts = []
         for gi, f in enumerate(vols_):
+            if hoist:
+                # f is the hoisted (r_in, R, R, 5*ch) Vcat; its first ch
+                # block is the center variant the x-taps lerp.
+                ch = ent_chs[gi]
+                r_max = L7s[gi].shape[-1]
+                sub = jax.lax.dynamic_slice(
+                    f, (los[gi], 0, 0, 0), (r_max, R, R, 5 * ch))
+                if ent_ident[gi]:
+                    # center-tap x-plan is the identity: the 5-tap part IS
+                    # the slab's rows of Vcat (the one-hot f32 einsum would
+                    # reproduce them bit-exactly; skip it).
+                    A5 = jax.lax.dynamic_slice(
+                        f, (x0, 0, 0, 0), (S, R, R, 5 * ch))
+                    parts.append(A5.reshape(n, 5 * ch))
+                else:
+                    A5 = jnp.einsum('sr,ryzk->syzk', L7s[gi][0], sub,
+                                    preferred_element_type=jnp.float32)
+                    parts.append(A5.astype(compute_dtype).reshape(n, 5 * ch))
+                Vx = sub[..., :ch]
+                Axm = jnp.einsum('sr,ryzc->syzc', L7s[gi][5], Vx,
+                                 preferred_element_type=jnp.float32)
+                Axp = jnp.einsum('sr,ryzc->syzc', L7s[gi][6], Vx,
+                                 preferred_element_type=jnp.float32)
+                parts += [Axm.astype(compute_dtype).reshape(n, ch),
+                          Axp.astype(compute_dtype).reshape(n, ch)]
+                continue
             r_in = f.shape[0]
             ch = f.shape[-1]
             r_max = L7s[gi].shape[-1]

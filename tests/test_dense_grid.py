@@ -132,6 +132,35 @@ def test_dense_coarse_projected_matches(tiny_setup):
     np.testing.assert_allclose(pal, plain, atol=2e-4, rtol=1e-3)
 
 
+def test_dense_hoisted_variants_match(tiny_setup):
+    """hoist_variants: full-volume z/y tap variants built once outside the
+    scan (plus the identity-center-tap slab slice for r_in == R scales)
+    must match the in-scan slab-local construction — x-slicing and the
+    z/y resamples commute exactly.
+
+    The tiny model covers both branches: the 16^3 scales hit the identity
+    center-tap shortcut (r_in == R == 16), the 8/4/2 scales exercise the
+    non-identity banded einsum over hoisted Vcats (coarse_proj=0 keeps
+    every scale on the stacked path)."""
+    model, vars_, enc, R = tiny_setup
+    args = (vars_['params']['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
+            enc['trans_mat'], R)
+    for cp in (0, 8):
+        base = np.asarray(dense_grid_sdf(
+            *args, slab=4, compute_dtype=jnp.float32, coarse_proj=cp,
+            hoist_variants=False))
+        hoisted = np.asarray(dense_grid_sdf(
+            *args, slab=4, compute_dtype=jnp.float32, coarse_proj=cp,
+            hoist_variants=True))
+        np.testing.assert_allclose(hoisted, base, atol=1e-6, rtol=1e-6)
+    # bf16 compute path (production dtype) stays within cast tolerance
+    base16 = np.asarray(dense_grid_sdf(*args, slab=4,
+                                       hoist_variants=False))
+    hoist16 = np.asarray(dense_grid_sdf(*args, slab=4,
+                                        hoist_variants=True))
+    np.testing.assert_allclose(hoist16, base16, atol=2e-2, rtol=2e-2)
+
+
 def test_batched_encode_slices_match_per_image(tiny_setup):
     """The --infer_batch sweep encodes B images in one dispatch and runs
     the dense decode off slices of the batched encoding (executors.

@@ -63,12 +63,15 @@ def main():
         # optional 5th field: use_pallas mode (0 XLA, 1 t-major kernel,
         # 2 fused structured-stack head)
         up = fields[4] if len(fields) > 4 else 0
+        # optional 6th field: hoist_variants (-1 = auto/None)
+        hv = None if len(fields) < 6 or fields[5] < 0 else bool(fields[5])
         key = (f'slab{slab}_u{unroll}_cp{cp}'
-               f'_co{-1 if co is None else int(co)}_p{up}')
+               f'_co{-1 if co is None else int(co)}_p{up}'
+               f'_hv{-1 if hv is None else int(hv)}')
         try:
             g = dense_grid_sdf(*dargs, slab=slab, scan_unroll=unroll,
                                coarse_proj=cp, coarse_outside=co,
-                               use_pallas=up)
+                               use_pallas=up, hoist_variants=hv)
             if ref is None:
                 ref = np.asarray(g)
             else:
@@ -78,7 +81,7 @@ def main():
             med, reps = t(lambda: _fetch(dense_grid_sdf(
                 *dargs, slab=slab, scan_unroll=unroll,
                 coarse_proj=cp, coarse_outside=co,
-                use_pallas=up)[0, 0, 0]))
+                use_pallas=up, hoist_variants=hv)[0, 0, 0]))
             out[key] = med
             out[key + '_reps'] = reps
         except Exception as e:

@@ -54,11 +54,15 @@ def main():
                 ['8,0', '4,0', '4,1', '8,1'])
     out = {}
     for v in variants:
-        slab, pal = (int(x) for x in v.split(','))
-        key = f's{slab}_p{pal}'
+        fields = [int(x) for x in v.split(',')]
+        slab, pal = fields[:2]
+        # optional 3rd field: hoist_variants (-1 = auto/None; at 256^3 the
+        # hoisted Vcats are ~6.4 GB bf16 — HBM-fit is part of the A/B)
+        hv = None if len(fields) < 3 or fields[2] < 0 else bool(fields[2])
+        key = f's{slab}_p{pal}_hv{-1 if hv is None else int(hv)}'
         try:
             med, reps = t(lambda: _fetch(dense_grid_sdf(
-                *dargs, slab=slab, use_pallas=pal,
+                *dargs, slab=slab, use_pallas=pal, hoist_variants=hv,
                 scan_unroll=1)[0, 0, 0]))
             out[key] = med
             out[key + '_reps'] = reps

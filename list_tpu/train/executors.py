@@ -400,9 +400,17 @@ class LISTExecutor(BaseExecutor):
             return np.asarray(out).astype(np.float32)
         enc = self._encode(self.state, img, tm)
         qsh = query_sharding(self.mesh)
+        # query-axis mesh extent: a ragged tail chunk (R^3 % test_pointnum
+        # != 0, e.g. odd vox_res) can't be evenly query-sharded — leave it
+        # replicated (device_put with an indivisible spec raises).
+        from list_tpu.parallel import DATA_AXIS, QUERY_AXIS
+        _ax = (QUERY_AXIS if QUERY_AXIS in self.mesh.axis_names
+               else DATA_AXIS)
+        nsh = self.mesh.shape[_ax]
         vals = []
         for chunk in self._get_grid_chunks():
-            chunk = jax.device_put(chunk, qsh)
+            if chunk.shape[1] % nsh == 0:
+                chunk = jax.device_put(chunk, qsh)
             vals.append(self._decode(self.state, chunk, enc))
         pred = jnp.concatenate(vals, axis=1)
         pred = (pred.reshape((self.vox_res,) * 3)

@@ -180,6 +180,26 @@ def test_list_inference_mesh(list_exec, tmp_path):
     assert os.path.exists(tmp_path / 'shape_pred.obj')
 
 
+def test_predict_grid_odd_resolution_falls_back():
+    """vox_res with no slab divisor (15): the dense x-slab scan cannot run
+    (it asserts R % slab == 0, ADVICE r2 #1), so predict_grid must fall
+    back to the chunked gather decoder and still produce the full grid."""
+    cfg = tiny_cfg(vox_res=15)
+    model = LIST(vox_res=15, point_feat=tuple(cfg.point_feat),
+                 point_degree=tuple(cfg.point_degree),
+                 im_enc_layers=tuple(cfg.im_enc_layers), h_dim=8, support=2)
+    ex = LISTExecutor(cfg, model)
+    batch, _ = make_batch(cfg)
+    ex.init_state(batch)
+    img = batch['rgb_image'][:1]
+    g = ex.predict_grid(img, fetch_dtype='float32')  # fast=None: auto
+    assert g.shape == (15, 15, 15)
+    assert np.isfinite(g).all()
+    # identical to the explicit chunked path (same code path taken)
+    g2 = ex.predict_grid(img, fast=False, fetch_dtype='float32')
+    np.testing.assert_array_equal(g, g2)
+
+
 def test_predict_grid_bf16_fetch(list_exec):
     """--fetch_dtype bfloat16 (the default) halves host-link bytes; the
     grid must round-trip within bf16 tolerance of the f32 fetch and keep

@@ -323,8 +323,11 @@ def main():
                        - min(_enc_chain(1) for _ in range(3))) / 4, 1e-4)
         extras['encode_s_device'] = round(enc_dev, 4)
         from list_tpu.ops.dense_grid import dense_grid_sdf
-        # production default at 128^3: structured split-parts fused head
-        dkw = dict(slab=64, scan_unroll=1, use_pallas=2)
+        # production default at 128^3: single-slab split-parts fused head
+        # (slab=R — the full-lane projection rework shrank the program so
+        # one 128-slab scan step compiles; 0.183 s/decode vs 0.197 for the
+        # slab=64 XLA head, r3 interleaved A/B)
+        dkw = dict(slab=128, scan_unroll=1, use_pallas=2)
         dargs = (ex.state.params['sdf_decoder'], enc['vox_feat'],
                  enc['feat_l2'], enc['trans_mat'], 128)
         decode_s = _t(lambda: _fetch(

@@ -146,44 +146,15 @@ def _group_w1_rows(channels: Sequence[int], group: Sequence[int]
     return np.asarray(rows, np.int64)
 
 
-def _bilinear_corners(pm: jnp.ndarray, xy: jnp.ndarray):
-    """4-corner gather for bilinear sampling of pm (H, W, C) at pixel
-    coords xy (n, 2) already clipped to [0, W-1]x[0, H-1].
-
-    Returns (vals (4, n, C), wx (n, 1), wy (n, 1)); the lerp is left to
-    the caller (the fused head does it in VMEM, skipping the (n, C)
-    percep write+read the XLA path pays)."""
-    H, W, _ = pm.shape
-    flat = pm.reshape(H * W, -1)
-    x, y = xy[:, 0], xy[:, 1]
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    wx = (x - x0)[:, None].astype(pm.dtype)
-    wy = (y - y0)[:, None].astype(pm.dtype)
-    n = x0.shape[0]
-    # one batched 4-corner gather (per-gather fixed costs dominate on TPU)
-    idx = jnp.concatenate([y0 * W + x0, y0 * W + x1,
-                           y1 * W + x0, y1 * W + x1])
-    # clip mode: idx is in-bounds by construction; fill mode's broadcast-
-    # select over the gathered (4n, 512) values cost 26 ms/mesh (r3 trace)
-    vals = jnp.take(flat, idx, axis=0, mode='clip').reshape(4, n, -1)
-    return vals, wx, wy
-
-
-def _bilinear_flat(pm: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample of pm (H, W, C) at pixel coords xy (n, 2) already
-    clipped to [0, W-1]x[0, H-1].
-
-    Equivalent to ops.sampling.grid_sample_2d on the dense path's clipped
-    coordinates, but gathers from a flat (H*W, C) array with jnp.take —
-    measured 1.6x faster than the batched take_along_axis gather on v5e
-    (144 ms vs 227 ms per 128^3 grid)."""
-    vals, wx, wy = _bilinear_corners(pm, xy)
-    top = vals[0] * (1 - wx) + vals[1] * wx
-    bot = vals[2] * (1 - wx) + vals[3] * wx
-    return top * (1 - wy) + bot * wy
+def fused_head_tile(n: int) -> Optional[int]:
+    """Fused-stack-head kernel tile for n queries per scan step: largest
+    power-of-two divisor of n <= 512 (512 fits VMEM comfortably, see
+    fused_stack_head docstring); tiny ragged n (<= 1024) runs as a single
+    tile; None means the fused head cannot engage (callers must fall back
+    to the XLA head or the chunked decoder — never pair the XLA head with
+    slab=R at large R, that program crashes the remote TPU compiler)."""
+    return next((t for t in (512, 256, 128, 64) if n % t == 0),
+                n if n <= 1024 else None)
 
 
 # x-shift signs of the three x-tap variants used by the coarse-projected
@@ -319,12 +290,7 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
     use_pallas = int(use_pallas)
     if use_pallas == 1:
         fuse_scales = False
-    # fused-head kernel tile: largest power-of-two divisor of n <= 512
-    # (512 fits VMEM comfortably, see fused_stack_head docstring); ragged
-    # n falls back to the XLA head.
-    _n = slab * R * R
-    pl_tile = next((t for t in (512, 256, 128, 64) if _n % t == 0),
-                   _n if _n <= 1024 else None)
+    pl_tile = fused_head_tile(slab * R * R)
     if use_pallas == 2 and (pl_tile is None or not fuse_scales):
         use_pallas = 0
 
@@ -657,22 +623,54 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
             coarse = coarse.reshape(n, coarse.shape[-1])
 
         # ---- perceptual part (pre-projected 512-ch maps) -----------------
-        world = grid_world_coords(R, x0, S, bb_min, bb_max)
-        q = world[..., ::-1] * 2.0  # (2z, 2y, 2x)
-        homo = jnp.concatenate([q, jnp.ones((1, n, 1), q.dtype)], -1)
-        pc_xyz = jnp.einsum('bnk,bkj->bnj', homo, trans_mat_)
-        pc_xy = pc_xyz[..., :2] / (pc_xyz[..., 2:] + 1e-8)
+        # Projection + index math runs on full-lane (S, R, R) planes: the
+        # (n, 3)/(n, 2) formulation wasted 125 of 128 lanes and lowered to
+        # reverse/pad/concat fusions plus an f32[n,2] staging copy worth
+        # ~40 ms per 128^3 decode (r3 slab-64 trace: reverse.8,
+        # pad_maximum_fusion.24, copy-start.13).
+        step = (bb_max - bb_min) / (R - 1)
+        fx = (jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 0)
+              + jnp.asarray(x0, jnp.float32)) * step + bb_min
+        fy = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 1) \
+            * step + bb_min
+        fz = jax.lax.broadcasted_iota(jnp.float32, (S, R, R), 2) \
+            * step + bb_min
+        # decoder coords q = (2z, 2y, 2x); homogeneous row (q, 1) @ T
+        t = trans_mat_[0]
+        p0, p1, p2 = 2.0 * fz, 2.0 * fy, 2.0 * fx
+        u = p0 * t[0, 0] + p1 * t[1, 0] + p2 * t[2, 0] + t[3, 0]
+        v = p0 * t[0, 1] + p1 * t[1, 1] + p2 * t[2, 1] + t[3, 1]
+        d = p0 * t[0, 2] + p1 * t[1, 2] + p2 * t[2, 2] + t[3, 2]
         # coords stay f32 pixels (bf16 loses sub-pixel precision)
-        pc_xy = jnp.clip(pc_xy, 0.0, float(ms - 1))
-        percep = _bilinear_flat(pm512_[0], pc_xy[0])
+        xpix = jnp.clip(u / (d + 1e-8), 0.0, float(ms - 1))
+        ypix = jnp.clip(v / (d + 1e-8), 0.0, float(ms - 1))
+        x0i = jnp.floor(xpix).astype(jnp.int32)
+        y0i = jnp.floor(ypix).astype(jnp.int32)
+        x1i = jnp.minimum(x0i + 1, ms - 1)
+        y1i = jnp.minimum(y0i + 1, ms - 1)
+        wxf = (xpix - x0i.astype(jnp.float32)).reshape(n, 1) \
+            .astype(pm512_.dtype)
+        wyf = (ypix - y0i.astype(jnp.float32)).reshape(n, 1) \
+            .astype(pm512_.dtype)
+        flat = pm512_[0].reshape(ms * ms, -1)
+        # one batched 4-corner gather (per-gather fixed costs dominate);
+        # clip mode: indices are in-bounds by construction
+        idx = jnp.concatenate([
+            (y0i * ms + x0i).reshape(n), (y0i * ms + x1i).reshape(n),
+            (y1i * ms + x0i).reshape(n), (y1i * ms + x1i).reshape(n)])
+        vals = jnp.take(flat, idx, axis=0, mode='clip').reshape(4, n, -1)
+        top = vals[0] * (1 - wxf) + vals[1] * wxf
+        bot = vals[2] * (1 - wxf) + vals[3] * wxf
+        percep = top * (1 - wyf) + bot * wyf
 
         if use_pallas == 1:
             from list_tpu.ops.pallas.fused_fc0 import fused_fc0_mlp
             p512 = percep.astype(jnp.float32)
             if coarse is not None:
                 p512 = p512 + coarse
+            q3 = jnp.stack([p0, p1, p2], axis=-1).reshape(n, 3)
             sdf = fused_fc0_mlp(
-                parts, p512.astype(compute_dtype), q[0],
+                parts, p512.astype(compute_dtype), q3,
                 C['w1_scale'], w1_xyz_, b1_,
                 w2_, b2_, w3_, b3_, w4_, b4_,
                 tile=min(1024, n), interpret=pallas_interpret)
@@ -685,8 +683,14 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                 # + MLP tail in one Pallas kernel — the (n, 512) f32
                 # activations and both ReLU intermediates stay in VMEM.
                 from list_tpu.ops.pallas.fused_fc0 import fused_stack_head
+                # pre-padded (n, 8) coord block built from the full-lane
+                # planes (one fused stack write; the kernel's .at[].set
+                # padding was another narrow-lane pass)
+                z8 = jnp.zeros_like(p0)
+                qpad8 = jnp.stack(
+                    [p0, p1, p2, z8, z8, z8, z8, z8], axis=-1).reshape(n, 8)
                 sdf = fused_stack_head(
-                    parts, coarse, percep, q[0], C['w1_parts'],
+                    parts, coarse, percep, qpad8, C['w1_parts'],
                     w1_xyz_, b1_, w2_, b2_, w3_, b3_, w4_, b4_,
                     tile=pl_tile, interpret=pallas_interpret)
                 return sdf.reshape(S, R, R)
@@ -702,7 +706,11 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         if coarse is not None:
             fc0 = fc0 + coarse
         fc0 = fc0 + percep.astype(jnp.float32)
-        fc0 = fc0 + q[0].astype(jnp.float32) @ w1_xyz_ + b1_
+        # xyz rows as broadcast FMAs off the full-lane planes (the (n, 3)
+        # @ (3, 512) degenerate-K matmul forced an (n, 3) materialization)
+        wxr = w1_xyz_.astype(jnp.float32)
+        fc0 = (fc0 + p0.reshape(n, 1) * wxr[0] + p1.reshape(n, 1) * wxr[1]
+               + p2.reshape(n, 1) * wxr[2] + b1_)
 
         # ---- MLP tail ----------------------------------------------------
         h = jax.nn.relu(fc0).astype(compute_dtype)

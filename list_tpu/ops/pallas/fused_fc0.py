@@ -142,7 +142,9 @@ def fused_stack_head(parts: Sequence[jnp.ndarray], coarse,
     4-corner bilinear lerp was A/B'd and is 1.7x SLOWER — the
     (4, tile, 512) corner blocks DMA four strided regions per tile;
     keep the XLA lerp outside).
-    qxyz: (n, 3) f32 normalized coords.  Returns (n,) f32 raw SDF.
+    qxyz: (n, 3) f32 normalized coords, or (n, 8) already zero-padded to
+    the kernel's lane-aligned block (cols 0..2 valid).  Returns (n,) f32
+    raw SDF.
 
     VMEM at tile=512 (v5e, sum K_i = 791): double-buffered blocks
     2*(512*791*2 + 512*512*4 + 512*512*2 + 512*8*4) ~= 5.3 MB, resident
@@ -158,8 +160,11 @@ def fused_stack_head(parts: Sequence[jnp.ndarray], coarse,
     dt = parts[0].dtype
     has_coarse = coarse is not None
 
-    qpad = jnp.zeros((n, 8), jnp.float32).at[:, :3].set(
-        qxyz.astype(jnp.float32))
+    if qxyz.shape[1] == 8:  # caller already padded (full-lane stack write)
+        qpad = qxyz.astype(jnp.float32)
+    else:
+        qpad = jnp.zeros((n, 8), jnp.float32).at[:, :3].set(
+            qxyz.astype(jnp.float32))
     wxyz = jnp.zeros((8, d1), jnp.float32).at[:3].set(
         w1_xyz.astype(jnp.float32))
     w4p = jnp.zeros((w4.shape[0], OUT_PAD), dt).at[:, :1].set(w4.astype(dt))

@@ -317,6 +317,46 @@ class LISTExecutor(BaseExecutor):
                 for s in range(0, n, chunk)]
         return self._grid_chunks
 
+    def _dense_plan(self, ndev: int = 1):
+        """Resolve (slab, use_pallas, scan_unroll) for the dense decode.
+
+        The dense path scans shape-uniform x-slabs, so the slab size must
+        divide vox_res; odd resolutions (e.g. 120, 125) get slab=None and
+        callers fall back to the chunked decoder.  On a multi-device mesh
+        the slab count must also split evenly across the sharded axis.
+
+        Auto head/slab selection (r3 on-chip A/Bs, one v5e):
+        - single device, R <= 128, TPU: SINGLE slab (slab=R) + the
+          split-parts fused Pallas head — the whole grid in one scan step
+          feeds one fused kernel; 0.201 s full predict dispatch at 128^3
+          vs 0.335 for slab=64 (the full-lane projection rework shrank
+          the program enough that slab=128 now compiles — it used to
+          crash the remote TPU compiler, and still does with the XLA
+          head, so slab=R is only ever paired with use_pallas=2).
+        - otherwise the XLA head: post-rework it beats the multi-slab
+          fused head (0.197 vs 0.335 at slab=64/128^3) and was already
+          faster at 256^3 (1.58 vs 2.0, slab=8).
+        An explicit --use_pallas 0/1/2 overrides the head choice (but
+        never pairs the XLA head with slab=R).  Mosaic kernels have no
+        CPU lowering, so CPU always gets the XLA head."""
+        from list_tpu.ops.dense_grid import fused_head_tile
+        R = self.vox_res
+        cfg_up = int(getattr(self.config, 'use_pallas', -1))
+        on_tpu = jax.devices()[0].platform != 'cpu'
+        if (on_tpu and ndev == 1 and R <= 128 and cfg_up in (-1, 2)
+                and fused_head_tile(R * R * R) is not None):
+            # tile gate: if the fused head can't engage, dense_grid_sdf
+            # would silently fall back to the XLA head at slab=R — a
+            # compiler-crashing program at large R (see fused_head_tile)
+            return R, 2, 1
+        pref = (64, 32, 16, 8, 4, 2) if R <= 192 else (8, 4, 2)
+        slab = next((s for s in pref if R % s == 0
+                     and (R // s) % ndev == 0), None)
+        if slab is None:
+            return None, 0, 1
+        use_pallas = cfg_up if (cfg_up >= 0 and on_tpu) else 0
+        return slab, use_pallas, (1 if slab >= 32 else 2)
+
     def predict_grid(self, rgb_image: np.ndarray,
                      trans_mat: Optional[np.ndarray] = None,
                      fast: Optional[bool] = None,
@@ -350,36 +390,16 @@ class LISTExecutor(BaseExecutor):
         if fast is None:
             fast = bool(getattr(self.config, 'fast_grid', 1)) \
                 and img.shape[0] == 1
-        # The dense path scans shape-uniform x-slabs, so it needs a slab
-        # size that divides vox_res; odd resolutions (e.g. 120, 125) fall
-        # back to the chunked decoder.  slab 64 measured fastest at 128^3
-        # after the structured-stack rework (r3 sweep: 0.214/0.216/0.228
-        # at 64/32/16; 128 crashes the remote compiler); above 192^3
-        # smaller slabs bound the per-slab operand.  On a
-        # multi-device mesh the slab count must also split evenly across
-        # the sharded axis (slab size drops until it does).
         from list_tpu.parallel import DATA_AXIS, QUERY_AXIS
         ndev = 1
         for ax in (QUERY_AXIS, DATA_AXIS):
             if ax in self.mesh.axis_names and self.mesh.shape[ax] > 1:
                 ndev = self.mesh.shape[ax]
                 break
-        pref = (64, 32, 16, 8, 4, 2) if self.vox_res <= 192 else (8, 4, 2)
-        slab = next((s for s in pref if self.vox_res % s == 0
-                     and (self.vox_res // s) % ndev == 0), None)
+        slab, use_pallas, unroll = self._dense_plan(ndev)
         if fast and slab is None:
             fast = False
         if fast:
-            # --use_pallas: fused dense-decode head mode (TPU only; the
-            # Mosaic kernels have no CPU lowering — XLA fallback
-            # elsewhere).  -1 auto-selects: the structured split-parts
-            # fused head (2) wins at <=192^3 (0.2122 vs 0.2136 per 128^3,
-            # r3 interleaved A/B), the XLA head (0) at 256^3.
-            use_pallas = int(getattr(self.config, 'use_pallas', -1))
-            if use_pallas < 0:
-                use_pallas = 2 if self.vox_res <= 192 else 0
-            if jax.devices()[0].platform == 'cpu':
-                use_pallas = 0
             # Multi-device mesh: shard the x-slab scan over the query axis
             # (features replicated, no collectives — SURVEY §2.7).
             mesh_kw = {'mesh': None, 'shard_axis': None}
@@ -393,7 +413,7 @@ class LISTExecutor(BaseExecutor):
             # each extra dispatch ~30 ms of relay wall)
             out = self._predict_dense(self.state, img, tm, slab=slab,
                                       use_pallas=use_pallas,
-                                      scan_unroll=1 if slab >= 32 else 2,
+                                      scan_unroll=unroll,
                                       wire_name=fetch_dtype, **mesh_kw)
             if device_out:
                 return out
@@ -440,8 +460,7 @@ class LISTExecutor(BaseExecutor):
         if fetch_dtype is None:
             fetch_dtype = getattr(self.config, 'fetch_dtype', 'float32')
         imgs = jnp.asarray(rgb_images)
-        pref = (64, 32, 16, 8, 4, 2) if self.vox_res <= 192 else (8, 4, 2)
-        slab = next((s for s in pref if self.vox_res % s == 0), None)
+        slab, use_pallas, unroll = self._dense_plan(1)
         fast = bool(getattr(self.config, 'fast_grid', 1)) and slab is not None
         multichip = any(self.mesh.shape[ax] > 1 for ax in self.mesh.axis_names)
         if not fast or multichip:
@@ -462,8 +481,8 @@ class LISTExecutor(BaseExecutor):
                     [f[i:i + 1] for f in enc['vox_feat']],
                     [f[i:i + 1] for f in enc['feat_l2']],
                     enc['trans_mat'][i:i + 1], slab=slab,
-                    use_pallas=False,
-                    scan_unroll=1 if slab >= 32 else 2,
+                    use_pallas=use_pallas,
+                    scan_unroll=unroll,
                     wire_name=fetch_dtype))
         if device_out:
             return grids

@@ -256,3 +256,45 @@ def test_submodule_checkpoint(list_exec, tmp_path):
     assert float(jax.tree.reduce(
         lambda a, b: a + float(np.abs(b).sum()),
         st.params['sdf_decoder'], 0.0)) == 0.0
+
+
+def test_dense_plan_selection(monkeypatch):
+    """Head/slab auto-selection invariants (r3 on-chip A/Bs):
+    - TPU single-device R<=128 -> single slab (slab=R) + split-parts
+      fused head (use_pallas=2); the XLA head is never paired with
+      slab=R (that program crashes the remote TPU compiler).
+    - CPU always gets the XLA head (no Mosaic CPU lowering).
+    - multi-device: slab count must split across the sharded axis.
+    - no divisor (odd resolutions) -> slab None (chunked fallback)."""
+    from types import SimpleNamespace
+    from list_tpu.train import executors as ex_mod
+
+    def plan(vox_res, ndev=1, use_pallas=-1):
+        fake = SimpleNamespace(vox_res=vox_res,
+                               config=SimpleNamespace(use_pallas=use_pallas))
+        return LISTExecutor._dense_plan(fake, ndev)
+
+    # CPU platform (the test env): XLA head everywhere
+    assert plan(128) == (64, 0, 1)
+    assert plan(256) == (8, 0, 2)
+    assert plan(15) == (None, 0, 1)
+    assert plan(128, ndev=8) == (16, 0, 2)  # 128/16 = 8 slabs split 8 ways
+    assert plan(128, use_pallas=2) == (64, 0, 1)  # no Mosaic on CPU
+
+    # TPU platform: fake the device list
+    fake_dev = SimpleNamespace(platform='tpu')
+    monkeypatch.setattr(ex_mod.jax, 'devices', lambda *a: [fake_dev])
+    assert plan(128) == (128, 2, 1)          # single-slab fused head
+    assert plan(64) == (64, 2, 1)
+    assert plan(120) == (120, 2, 1)          # 120^3 divisible by 512
+    # tile gate: 127^3 has no power-of-two tile, so the fused head can't
+    # engage — must NOT hand dense_grid an XLA slab-127 program
+    assert plan(127) == (None, 0, 1)
+    assert plan(15) == (None, 0, 1)          # ragged small R: chunked
+    assert plan(128, use_pallas=2) == (128, 2, 1)
+    assert plan(128, use_pallas=0) == (64, 0, 1)   # never slab=R with XLA
+    assert plan(128, use_pallas=1) == (64, 1, 1)
+    assert plan(128, ndev=2) == (64, 0, 1)   # sharded scan: XLA head
+    assert plan(192) == (64, 0, 1)           # multi-slab: XLA head wins
+    assert plan(256) == (8, 0, 2)
+    assert plan(15) == (None, 0, 1)

@@ -114,9 +114,12 @@ class CoarseNetExecutor(BaseExecutor):
 
     def _init_variables(self, batch):
         # batch-1 init: no parameter shape depends on the batch size.
+        # jit'd: eager flax init pays one backend round trip PER OP on the
+        # axon relay (measured 200+ s for the LIST init); jitted it is one
+        # persistent-cacheable program.
         img = jnp.asarray(batch['rgb_image'])
         img1 = jnp.zeros((1,) + img.shape[1:], img.dtype)
-        return self.model.init(self._rng, img1)
+        return jax.jit(self.model.init)(self._rng, img1)
 
     def _train_step_fn(self, state: TrainState, batch):
         def loss_fn(params):
@@ -213,7 +216,11 @@ class LISTExecutor(BaseExecutor):
         small = self.model
         if getattr(self.model, 'vox_res', 32) > 32:
             small = self.model.clone(vox_res=32)
-        return small.init(self._rng, img1, query)
+        # jit'd: eager flax init runs op-by-op — one axon-relay round trip
+        # per op, measured 205 s of the 383 s train first-step wall
+        # (tools/probe_compile_breakdown.py).  Jitted it is one program,
+        # and the persistent cache makes reruns near-free.
+        return jax.jit(small.init)(self._rng, img1, query)
 
     def calc_loss(self, pred, gt) -> Dict[str, jnp.ndarray]:
         occ_pred, sdf_pred = pred

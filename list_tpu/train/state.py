@@ -39,8 +39,10 @@ class TrainState(flax.struct.PyTreeNode):
 
     @classmethod
     def create(cls, params, batch_stats, tx):
+        # jit'd: eager optax init issues one zeros_like dispatch per leaf
+        # (hundreds of axon-relay round trips); jitted it is one program.
         return cls(step=0, params=params, batch_stats=batch_stats,
-                   opt_state=tx.init(params), tx=tx)
+                   opt_state=jax.jit(tx.init)(params), tx=tx)
 
 
 def make_optimizer(lr: float, beta1: float = 0.9, beta2: float = 0.999,

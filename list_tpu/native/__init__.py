@@ -33,7 +33,7 @@ c_int32_p = ctypes.POINTER(ctypes.c_int32)
 
 def _build() -> bool:
     cmd = ['g++', '-O3', '-march=native', '-fPIC', '-shared', '-std=c++17',
-           _SRC, '-o', _SO]
+           '-pthread', _SRC, '-o', _SO]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True

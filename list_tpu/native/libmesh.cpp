@@ -28,8 +28,48 @@
 #include <cstdlib>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <unordered_map>
 #include <vector>
+
+namespace {
+
+// Per-point query loops (ray-stab containment, KD-tree NN, BVH distance)
+// are embarrassingly parallel: disjoint output slots, read-only shared
+// structures.  The reference's Cython/scipy equivalents are single-threaded
+// (evaluation/libmesh/triangle_hash.pyx, eval_util.py:144-158) and host
+// eval was measured 10-30x the device decode time per shape (VERDICT r3);
+// chunk the loop over std::thread workers.  LIST_TPU_NATIVE_THREADS
+// overrides the worker count (0/1 = serial).
+int num_threads() {
+  if (const char* env = std::getenv("LIST_TPU_NATIVE_THREADS")) {
+    int n = std::atoi(env);
+    if (n >= 1) return n;
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  return hw ? (int)hw : 1;
+}
+
+template <typename Fn>
+void parallel_for(int64_t n, Fn&& fn) {
+  int nt = num_threads();
+  if (nt <= 1 || n < 4096) {  // below ~4k points threading overhead loses
+    fn((int64_t)0, n);
+    return;
+  }
+  nt = (int)std::min<int64_t>(nt, (n + 4095) / 4096);
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    workers.emplace_back([&fn, lo, hi] { fn(lo, hi); });
+  }
+  for (auto& w : workers) w.join();
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -88,7 +128,8 @@ void inside_mesh(const double* tri, int64_t n_tri, const double* pts,
         hash[(size_t)resolution * x + y].push_back((int32_t)t);
   }
 
-  for (int64_t i = 0; i < n_pts; ++i) {
+  parallel_for(n_pts, [&](int64_t i_lo, int64_t i_hi) {
+  for (int64_t i = i_lo; i < i_hi; ++i) {
     double p[3];
     bool in_aabb = true;
     for (int d = 0; d < 3; ++d) {
@@ -136,6 +177,7 @@ void inside_mesh(const double* tri, int64_t n_tri, const double* pts,
     contains[i] = (uint8_t)(c1 && c2);
     holes[i] = (uint8_t)(c1 != c2);
   }
+  });
 }
 
 // ---------------------------------------------------------------------------
@@ -571,13 +613,15 @@ void kdtree_nn(const double* src, int64_t n_src, const double* dst,
   tree.idx.resize(n_dst);
   for (int64_t i = 0; i < n_dst; ++i) tree.idx[i] = i;
   tree.build(0, n_dst, 0);
-  for (int64_t i = 0; i < n_src; ++i) {
-    double best2 = std::numeric_limits<double>::infinity();
-    int64_t best_i = -1;
-    tree.query(&src[i * 3], 0, n_dst, 0, best2, best_i);
-    dist_out[i] = std::sqrt(best2);
-    if (idx_out) idx_out[i] = best_i;
-  }
+  parallel_for(n_src, [&](int64_t i_lo, int64_t i_hi) {
+    for (int64_t i = i_lo; i < i_hi; ++i) {
+      double best2 = std::numeric_limits<double>::infinity();
+      int64_t best_i = -1;
+      tree.query(&src[i * 3], 0, n_dst, 0, best2, best_i);
+      dist_out[i] = std::sqrt(best2);
+      if (idx_out) idx_out[i] = best_i;
+    }
+  });
 }
 
 // ---------------------------------------------------------------------------
@@ -732,11 +776,13 @@ void unsigned_distance(const double* verts, int64_t n_verts,
   bvh.tri_idx.resize(n_faces);
   for (int64_t i = 0; i < n_faces; ++i) bvh.tri_idx[i] = i;
   bvh.build(0, n_faces);
-  for (int64_t i = 0; i < n_pts; ++i) {
-    double best2 = std::numeric_limits<double>::infinity();
-    bvh.query(0, &pts[i * 3], best2);
-    dist_out[i] = std::sqrt(best2);
-  }
+  parallel_for(n_pts, [&](int64_t i_lo, int64_t i_hi) {
+    for (int64_t i = i_lo; i < i_hi; ++i) {
+      double best2 = std::numeric_limits<double>::infinity();
+      bvh.query(0, &pts[i * 3], best2);
+      dist_out[i] = std::sqrt(best2);
+    }
+  });
 }
 
 void signed_distance(const double* verts, int64_t n_verts,

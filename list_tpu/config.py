@@ -254,14 +254,58 @@ def _build_parser() -> ArgumentParser:
     parser.add_argument('--profile_dir', type=str, default='',
                         help='If set, write a jax.profiler trace here.')
     parser.add_argument('--num_workers', type=int, default=4)
+    parser.add_argument('--multihost', type=int, default=0,
+                        help='Join the JAX multi-controller runtime '
+                             '(jax.distributed.initialize) before building '
+                             'the device mesh: run the same command on '
+                             'every host with COORDINATOR_ADDRESS/'
+                             'NUM_PROCESSES/PROCESS_ID set (or rely on '
+                             'cloud autodetection). The mesh then spans '
+                             'hosts and eval test lists shard per process '
+                             '(parallel/multihost.py; the reference\'s '
+                             'manual analog is --chunk_s/--chunk_l, '
+                             'test.py:108-113).')
+    parser.add_argument('--coordinator_address', type=str, default='',
+                        help='host:port of process 0 for --multihost '
+                             '(default: $COORDINATOR_ADDRESS or cloud '
+                             'autodetection).')
+    parser.add_argument('--num_processes_dist', type=int, default=0,
+                        help='Total process count for --multihost '
+                             '(default: $NUM_PROCESSES or autodetect).')
+    parser.add_argument('--process_id', type=int, default=-1,
+                        help='This process\'s index for --multihost '
+                             '(default: $PROCESS_ID or autodetect).')
     parser.add_argument('--checkify', action='store_true',
                         help='Enable jax.experimental.checkify NaN/inf guards '
                              'in the train step (debugging).')
     return parser
 
 
+def _validate(args: Namespace) -> None:
+    """Reject / warn on config values measured to crash the XLA TPU compiler
+    (r3 A/B runs, see the flags' help text) — a clear parse-time error beats
+    an opaque remote-compiler abort on real hardware."""
+    fg = int(getattr(args, 'fuse_sample_gathers', 0))
+    if fg not in (0, 1):
+        raise ValueError(
+            f'--fuse_sample_gathers {fg}: cross-scale fusion values >= 2 '
+            'crash the XLA TPU compiler (measured on v5e: N=3 and N=6 -> '
+            'remote-compile helper exit 1). Use 0 (per-scale takes) or 1 '
+            '(per-scale z-plane fusion).')
+    tqc = int(getattr(args, 'train_query_chunks', 4))
+    if tqc < 1:
+        raise ValueError(f'--train_query_chunks {tqc}: must be >= 1.')
+    if tqc == 2 and int(getattr(args, 'train_batch_size', 0)) >= 8:
+        import warnings
+        warnings.warn(
+            '--train_query_chunks 2 at train_batch_size >= 8 crashed the '
+            'XLA TPU compiler in measurement (v5e, r3); use 4 chunks at '
+            'batch 8.', RuntimeWarning, stacklevel=2)
+
+
 def _finalize(args: Namespace) -> Namespace:
     """Derive testlist/dirs exactly like the reference (arguments.py:110-133)."""
+    _validate(args)
     testlist = []
     if args.testlist_file and os.path.exists(args.testlist_file):
         with open(args.testlist_file, 'r') as f:

@@ -113,6 +113,11 @@ def _host_finish(executor, batch, fname, pred_values, eval_pred
 
 def test_all(config) -> Optional[str]:
     """Returns the CSV path (None when nothing was evaluated)."""
+    # --multihost: strided per-process test-list sharding on top of the
+    # manual --chunk_s/--chunk_l window (reference test.py:108-113); each
+    # process writes its own CSV chunk for evaluate_gather to merge.
+    from list_tpu.parallel import multihost
+    multihost.maybe_initialize(config)
     model = build_model(config)
     Dataset = registry.get_class(registry.resolve(config.dataset))
     testset = Dataset(config, 'test')
@@ -155,6 +160,9 @@ def test_all(config) -> Optional[str]:
     chunk = test_size if (config.chunk_l == 0
                           or start_idx + config.chunk_l > test_size) \
         else config.chunk_l + 1
+    datalist = multihost.shard_datalist(
+        testset.datalist[start_idx:start_idx + chunk])
+    chunk = len(datalist)
 
     overlap = hasattr(executor, 'predict_grid')
     pool = ThreadPoolExecutor(max_workers=1) if overlap else None
@@ -200,7 +208,7 @@ def test_all(config) -> Optional[str]:
         # meshing/eval still runs per shape on the worker thread, draining
         # the previous group while the current group computes on device.
         items = []
-        for data in testset.datalist[start_idx:start_idx + chunk]:
+        for data in datalist:
             cam_ids = ([data['img_id'].split('.')[0]] if 'img_id' in data
                        else [config.test_cam_id])
             items.extend((data['cat_id'], data['shape_id'], c)
@@ -247,8 +255,7 @@ def test_all(config) -> Optional[str]:
     else:
         from collections import deque
         pendings_q = deque()  # (future, *meta), up to pipeline_depth deep
-        for batch_idx, data in enumerate(
-                testset.datalist[start_idx:start_idx + chunk]):
+        for batch_idx, data in enumerate(datalist):
             cat_id = data['cat_id']
             shape_id = data['shape_id']
             shape_start = time.time()
@@ -292,6 +299,9 @@ def test_all(config) -> Optional[str]:
 
     csv_path = None
     if config.eval_pred and rows:
-        csv_path = os.path.join(output_dir, f'{cat_id}.csv')
+        import jax
+        suffix = (f'_p{jax.process_index()}'
+                  if jax.process_count() > 1 else '')
+        csv_path = os.path.join(output_dir, f'{cat_id}{suffix}.csv')
         write_scores_csv(csv_path, rows, mean_row=True)
     return csv_path

@@ -116,7 +116,30 @@ def _maybe_load_resnet(executor, config) -> None:
     print(f'resnet_ckpt {path} loaded into: {", ".join(loaded)}')
 
 
+class _NullWriter:
+    """Non-primary-process stand-in for SummaryWriter (one process owns the
+    shared results directory in a --multihost run)."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def add_text(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 def train(config) -> None:
+    # --multihost: join the multi-controller runtime BEFORE any device use
+    # so jax.devices() is the global list and the data mesh spans hosts
+    # (SURVEY.md §2.7; the reference's comm backend is single-process
+    # DataParallel, train.py:126).  Checkpoints/logs are written by
+    # process 0 only — train state is replicated and bitwise identical
+    # across processes.
+    from list_tpu.parallel import multihost
+    multihost.maybe_initialize(config)
+    primary = jax.process_index() == 0
     model = build_model(config)
     Dataset = registry.get_class(registry.resolve(config.dataset))
     trainset = Dataset(config, 'train')
@@ -181,9 +204,10 @@ def train(config) -> None:
             executor.state = ckpt.load_submodule(pd, executor.state,
                                                  'point_decoder')
             print(config.exp_name, 'PD checkpoint loaded')
-        ckpt.save_checkpoint(-1, executor.state, best_train_loss,
-                             best_train_path)
-        print('Initial checkpoint saved.')
+        if primary:
+            ckpt.save_checkpoint(-1, executor.state, best_train_loss,
+                                 best_train_path)
+            print('Initial checkpoint saved.')
         warm_started = True
     else:
         executor.init_state(sample)
@@ -193,27 +217,28 @@ def train(config) -> None:
         executor.init_state(sample, frozen_prefixes=frozen)
         _maybe_load_resnet(executor, config)
 
-    writer = SummaryWriter(os.path.join(config.results_dir, 'summary'))
+    writer = (SummaryWriter(os.path.join(config.results_dir, 'summary'))
+              if primary else _NullWriter())
     writer.add_text('opt', str(config), 0)
 
     if getattr(config, 'profile_dir', ''):
-        import jax
         jax.profiler.start_trace(config.profile_dir)
 
     while epoch < config.epochs:
         if not config.skip_train:
             loss = train_one_epoch(epoch, executor, train_iter, config,
                                    writer)
-            if (epoch + 1) % config.save_every_epoch == 0:
+            if primary and (epoch + 1) % config.save_every_epoch == 0:
                 ckpt.save_checkpoint(
                     epoch, executor.state, loss,
                     os.path.join(ckpt_dir, f'model_{epoch + 1}.ckpt'))
             if best_train_loss > loss:
                 best_train_loss = loss
-                ckpt.save_checkpoint(epoch, executor.state, loss,
-                                     best_train_path)
+                if primary:
+                    ckpt.save_checkpoint(epoch, executor.state, loss,
+                                         best_train_path)
 
-        if (epoch + 1) % config.test_every_epoch == 0:
+        if primary and (epoch + 1) % config.test_every_epoch == 0:
             eval_start = time.time()
             eval_scores = run_testlist(epoch, executor, trainset, config,
                                        config.testlist)
@@ -232,7 +257,7 @@ def train(config) -> None:
                 best_test_score = test_score
                 best_test_epoch = epoch + 1
                 ckpt.save_checkpoint(epoch, executor.state, test_score,
-                                     best_test_path)
+                                     best_test_path)  # primary-only block
 
             logline = (f'{config.exp_name} Test: Epoch '
                        f'{epoch + 1:03d}||{config.epochs} ')
@@ -248,6 +273,5 @@ def train(config) -> None:
 
         epoch += 1
         if getattr(config, 'profile_dir', '') and epoch == 1:
-            import jax
             jax.profiler.stop_trace()  # trace covers the first epoch
     writer.close()

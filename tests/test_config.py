@@ -77,3 +77,26 @@ def test_alias_package_imports():
     assert hasattr(pkg, 'models') and hasattr(pkg, 'ops')
     from learning_implicitly_from_spatial_transformers_network_tpu.models \
         import LIST  # noqa: F401
+
+
+def test_compiler_hostile_values_rejected():
+    """Values measured to crash the XLA TPU compiler fail at parse time
+    (r3 A/B: fuse_sample_gathers in (3, 6) -> remote-compile abort)."""
+    import warnings
+
+    import pytest
+
+    with pytest.raises(ValueError, match='fuse_sample_gathers'):
+        default_config(fuse_sample_gathers=3)
+    with pytest.raises(ValueError, match='fuse_sample_gathers'):
+        get_args(['--fuse_sample_gathers', '6'])
+    with pytest.raises(ValueError, match='train_query_chunks'):
+        default_config(train_query_chunks=0)
+    with pytest.warns(RuntimeWarning, match='train_query_chunks 2'):
+        default_config(train_query_chunks=2, train_batch_size=8)
+    # safe combos stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        default_config(fuse_sample_gathers=1, train_query_chunks=2,
+                       train_batch_size=4)
+        default_config(train_query_chunks=4, train_batch_size=8)

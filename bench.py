@@ -37,10 +37,23 @@ import numpy as np
 
 REFERENCE_BASELINE_QPS = 1.0e6
 REFERENCE_V100_CEILING_QPS = 3.84e6
+# Derived reference TRAIN-step anchor (BASELINE.md "Train-step reference
+# anchor"): batch-8 x 32,441-query eager fp32 step on one V100 = ~4.6 TFLOP
+# (XLA cost model of the identical math, scaled from the measured batch-4
+# program) at the FLOP-share-weighted eager efficiency (24.6% measured for
+# the gather/decode part, ~50% cudnn convs) + the reference's per-forward
+# host voxelization round trip (models.py:102-112) ~= 1.2 s/step ->
+# 216k queries/s.  The 100%-MFU fp32 floor is 0.29 s/step (927k q/s).
+REFERENCE_TRAIN_QPS = 2.16e5
+REFERENCE_TRAIN_CEILING_QPS = 9.27e5
 # decoder MLP FLOPs per query (fp32 reference path; BASELINE.md derivation)
 FLOP_PER_QUERY = 2 * (3610 * 512 + 512 * 256 + 256 * 256 + 256)
 V5E_BF16_PEAK_TFLOPS = 197.0
-CHUNKED_ANCHOR_CHUNKS = 4  # time 4 of 32 chunks and scale (identical work)
+# time 4 of 32 chunks and scale (identical work per chunk; a full-32 run
+# recorded in docs/chunked_anchor_full32.txt pins the extrapolation —
+# BENCH_CHUNKED_ANCHOR=32 reproduces it)
+import os as _os
+CHUNKED_ANCHOR_CHUNKS = int(_os.environ.get('BENCH_CHUNKED_ANCHOR', 4))
 
 
 def _fetch(x):
@@ -157,6 +170,15 @@ def main():
             extras['train_batch'] = bsz
             extras['train_step_s'] = round(step_s, 3)
             extras['train_steps_per_sec'] = round(1.0 / step_s, 3)
+            # per-query train throughput vs the derived reference anchors
+            # (BASELINE.md "Train-step reference anchor"): normalizes the
+            # batch difference (reference recipe is batch 8)
+            train_qps = bsz * 32768 / step_s
+            extras['train_qps'] = round(train_qps, 1)
+            extras['train_vs_baseline'] = round(
+                train_qps / REFERENCE_TRAIN_QPS, 3)
+            extras['train_vs_ref_fp32_ceiling'] = round(
+                train_qps / REFERENCE_TRAIN_CEILING_QPS, 3)
             # ---- train-step roofline (VERDICT r2 missing #5) ----------
             # Analytic MXU work per item, fwd (2*MACs):
             #   decoder MLP: 32,768 q x 4.090 MFLOP           = 134 GFLOP
@@ -422,6 +444,33 @@ def main():
                 extras['qps_256'] / chunked_qps, 2)
     except Exception as e:  # pragma: no cover - bench resilience
         extras['chunked_qps_measured'] = f'failed: {e}'
+
+    # ---- host eval throughput (VERDICT r3 weak #2) -----------------------
+    # Marching cubes + mesh sampling + 2x100k-pt KD-tree chamfer + 2x1M-pt
+    # ray-stab IoU per shape — the production sweep's host side
+    # (eval/metrics.py eval_mesh; reference evaluation/eval_util.py:23-51),
+    # on the LAST fetched 128^3 grid.  The native loops thread over
+    # LIST_TPU_NATIVE_THREADS workers (libmesh.cpp parallel_for).
+    try:
+        from list_tpu.eval.metrics import eval_mesh
+        from list_tpu.utils.meshing import generate_mesh
+        from list_tpu.utils.meshio import make_icosphere
+        gt_mesh = make_icosphere(subdivisions=4, radius=0.4)
+        t0 = time.time()
+        pred_mesh = generate_mesh(grid, cfg.bb_min, cfg.bb_max,
+                                  as_trimesh_obj=True)
+        mc_s = time.time() - t0
+        if len(pred_mesh.vertices) > 10:
+            t0 = time.time()
+            scores = eval_mesh(pred_mesh, gt_mesh, cfg.bb_min, cfg.bb_max)
+            ev_s = time.time() - t0
+            extras['eval_s_per_shape'] = round(mc_s + ev_s, 3)
+            extras['eval_mc_s'] = round(mc_s, 3)
+            assert np.isfinite(scores.get('iou', 0.0))
+        else:  # untrained net: empty isosurface — time MC only
+            extras['eval_s_per_shape'] = f'mc_only: {round(mc_s, 3)}'
+    except Exception as e:  # pragma: no cover - bench resilience
+        extras['eval_s_per_shape'] = f'failed: {e}'[:200]
 
     extras['vs_ref_fp32_ceiling'] = round(qps / REFERENCE_V100_CEILING_QPS, 3)
     print(json.dumps({

@@ -225,6 +225,25 @@ def _build_parser() -> ArgumentParser:
                              'XLA TPU compiler (remote-compile helper '
                              'exit 1); keep 0 or 1 on TPU. Exact '
                              'value+grad parity is tested on CPU.')
+    parser.add_argument('--collapse_samples', type=str, default='auto',
+                        help='Scale indices (comma list), "auto", or '
+                             '"none": sample these pyramid scales from a '
+                             'corner-COLLAPSED volume (z+1/y+1 neighbor '
+                             'planes replicated into the row + overlapped '
+                             'x windows) — ONE gathered row per '
+                             'displacement tap instead of 8 corner rows, '
+                             'at ~4x those scales\' feature bytes, built '
+                             'once per step outside the decode chunk '
+                             'loop. The train step is gather-issue bound; '
+                             'measured per-chunk sampling f+b on v5e '
+                             '(tools/probe_corner_collapse.py): 3.1x/'
+                             '1.4x/2.7x/1.6x on scales 0/2/3/5; scale 1 '
+                             '(16ch@128^3, 1.27 GB collapsed) loses and '
+                             'scale 4 is a wash. Full-step A/B (v5e, '
+                             'batch 4): 1.245 vs 1.597 s/step. '
+                             '"auto" (default) = (0,2,3,5) at batch <= 4 '
+                             'and OFF above (the batch-8 step has only '
+                             '~250 MB HBM headroom — unmeasured there).')
     parser.add_argument('--remat_save_samples', type=int, default=0,
                         help='Under decode remat, save the named sampled '
                              'feature stacks instead of recomputing them: '

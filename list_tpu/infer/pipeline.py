@@ -165,7 +165,13 @@ def test_all(config) -> Optional[str]:
     chunk = len(datalist)
 
     overlap = hasattr(executor, 'predict_grid')
-    pool = ThreadPoolExecutor(max_workers=1) if overlap else None
+    # Host meshing/eval workers: marching cubes + KD-tree chamfer + ray-stab
+    # IoU per shape.  The native per-point loops release the GIL and thread
+    # internally (libmesh.cpp parallel_for), so a few concurrent shapes
+    # saturate a multi-core host; LIST_TPU_EVAL_WORKERS overrides.
+    n_eval_workers = int(os.environ.get('LIST_TPU_EVAL_WORKERS', 0)) \
+        or max(1, min(4, (os.cpu_count() or 1)))
+    pool = ThreadPoolExecutor(max_workers=n_eval_workers) if overlap else None
     # Dedicated fetch pool: device->host grid transfers for up to 4 meshes
     # proceed concurrently with device compute AND the (serial) host
     # meshing worker.  Probed on the harness relay (tools/probe_fetch.py):

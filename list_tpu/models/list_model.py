@@ -35,6 +35,24 @@ DEFAULT_POINT_DEGREE = (2, 2, 2, 2, 2, 2, 64)
 DEFAULT_IM_ENC_LAYERS = (1, 1, 1, 1, 16, 32, 64, 128, 128)
 
 
+def parse_collapse_samples(spec, batch_size: int) -> tuple:
+    """--collapse_samples -> static scale-index tuple.
+
+    'auto' picks the set measured fastest on v5e: (0, 2, 3, 5) at
+    batch <= 4 (full-step A/B: 1.245 vs 1.597 s/step, tools/
+    ab_train_collapse.py; the ~1.1 GB of collapsed volumes + grads fit) and
+    OFF above (the batch-8 step has ~250 MB HBM headroom — unmeasured);
+    'none'/'' disables; an explicit '0,3,5' wins."""
+    if isinstance(spec, (tuple, list)):
+        return tuple(int(i) for i in spec)
+    spec = str(spec).strip().lower()
+    if spec in ('none', ''):
+        return ()
+    if spec == 'auto':
+        return (0, 2, 3, 5) if batch_size <= 4 else ()
+    return tuple(int(t) for t in spec.replace(' ', '').split(',') if t)
+
+
 class CoarseNet(nn.Module):
     """Stage-1 coarse point-cloud predictor."""
     point_feat: Sequence[int] = DEFAULT_POINT_FEAT
@@ -107,6 +125,14 @@ class LIST(nn.Module):
     # training sampler (the step is gather-latency bound; fewer, bigger
     # takes).  0 keeps the per-scale takes.
     fuse_gather: int = 0
+    # --collapse_samples: scale indices whose training gather operand is
+    # corner-collapsed (ops/sampling.py collapse_corners): one gathered row
+    # per displacement tap instead of 8 corner rows, at ~4x those scales'
+    # feature bytes (built once per step, outside the decode chunk loop).
+    # Measured per-chunk f+b on v5e (tools/probe_corner_collapse.py):
+    # 3.1x / 1.4x / 2.7x / 1.6x on scales 0/2/3/5; scale 1 (16ch@128^3)
+    # LOSES (1.27 GB collapsed volume) and scale 4 is a wash.
+    collapse_samples: Sequence[int] = ()
     # --remat_save_samples: under decode remat, SAVE the named sampled
     # stacks ('decode_vox', optionally 'decode_percep') instead of
     # recomputing them — the remat backward then skips the forward
@@ -133,6 +159,9 @@ class LIST(nn.Module):
                    remat_decode=(None if rd < 0 else bool(rd)),
                    fuse_gather=int(
                        getattr(config, 'fuse_sample_gathers', 0)),
+                   collapse_samples=parse_collapse_samples(
+                       getattr(config, 'collapse_samples', 'none'),
+                       int(getattr(config, 'train_batch_size', 4))),
                    remat_save_samples=int(
                        getattr(config, 'remat_save_samples', 0)),
                    train_query_chunks=int(
@@ -147,9 +176,12 @@ class LIST(nn.Module):
         # activations aren't lane-padded 8-128x by XLA (stencil3d.py).
         self.vox_encoder = vox_cls(layers=tuple(self.im_enc_layers),
                                    cmajor=True,
-                                   packed_dtype=self.vox_packed_dtype)
+                                   packed_dtype=self.vox_packed_dtype,
+                                   collapse_set=tuple(self.collapse_samples))
         self.sdf_decoder = VoxelDecoder2(h_dim=self.h_dim,
-                                         fuse_gather=self.fuse_gather)
+                                         fuse_gather=self.fuse_gather,
+                                         collapse_set=tuple(
+                                             self.collapse_samples))
         self.percep_pooling = PerceptualPooling()
         enc_kw = ({} if self.im_filters is None
                   else dict(filters=tuple(self.im_filters),

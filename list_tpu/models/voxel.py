@@ -92,6 +92,11 @@ class VoxelEncoder2(nn.Module):
     # dtype of fold-packed training features; bf16 halves the pack-
     # transpose copy that XLA materializes lane-padded (None = keep f32).
     packed_dtype: Optional[str] = 'bfloat16'
+    # Scale indices emitted corner-COLLAPSED (ops.sampling.collapse_corners):
+    # one gathered row per displacement tap instead of 8 corner rows, at
+    # ~4x that scale's feature bytes, built once per step here (outside the
+    # decode chunk loop).  Empty = plain fold-packed everywhere.
+    collapse_set: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, occ: jnp.ndarray, train: bool = False,
@@ -99,7 +104,8 @@ class VoxelEncoder2(nn.Module):
         # occ: (B, R, R, R) -> features list (channels-last), or with
         # packed=True -> (packed features, metas) in the lane-dense fold
         # layout of ops.sampling.pack_channels_last (training path).
-        from list_tpu.ops.sampling import pack_channels_last, pack_cmajor
+        from list_tpu.ops.sampling import (collapse_corners,
+                                           pack_channels_last, pack_cmajor)
 
         cm = bool(self.cmajor) and occ.shape[-1] == 128
         net = occ[:, None] if cm else occ[..., None]
@@ -112,6 +118,8 @@ class VoxelEncoder2(nn.Module):
             if packed:
                 p, meta = (pack_cmajor(f, pdt) if is_cm
                            else pack_channels_last(f, pdt))
+                if len(features) in self.collapse_set:
+                    p = collapse_corners(p, meta)
                 features.append(p)
                 metas.append(meta)
             else:
@@ -190,6 +198,9 @@ class VoxelDecoder2(nn.Module):
     # --fuse_sample_gathers: scales per fused gather op in the packed
     # training sampler (0/1 = per-scale takes).
     fuse_gather: int = 0
+    # --collapse_samples: scale indices arriving corner-collapsed from the
+    # encoder (must match VoxelEncoder2.collapse_set).
+    collapse_set: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, p: jnp.ndarray, feat: Sequence[jnp.ndarray],
@@ -199,7 +210,8 @@ class VoxelDecoder2(nn.Module):
         if vox_meta is not None:
             from list_tpu.ops.sampling import sample_multiscale_packed
             vox = sample_multiscale_packed(feat, vox_meta, p, self.delta,
-                                           fuse_group=self.fuse_gather)
+                                           fuse_group=self.fuse_gather,
+                                           collapse_set=self.collapse_set)
         else:
             vox = sample_multiscale(feat, p, self.delta)
         # Named for the selective decode-remat policy

@@ -298,6 +298,110 @@ def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray,
     return plane(z0) * (1 - wz) + plane(z1) * wz
 
 
+# ---- corner-collapsed sampling (training path) ------------------------------
+#
+# The train step is gather-ISSUE bound (~34M row-issues/s effective in-step
+# vs 116-222M in isolation; tools/probe_gather_modes.py).  Corner collapsing
+# cuts gathered ROWS 8x: pre-replicate the z+1 / y+1 neighbor planes into
+# the row (4 quads) and window x with overlap (width gh, stride gh-1) so
+# both x corners always share a row -> ONE row-read per displacement tap
+# yields all 8 trilinear corners.  The collapsed volume costs ~4x the scale's
+# bytes and is built ONCE per step (outside the chunk loop) from reshape/
+# strided-slice/concat only — a stack-of-windows build materializes a
+# 6.7x-padded cotangent in backward and OOMs (tools/probe_corner_collapse.py;
+# measured per-chunk f+b on v5e: s0 33.9->10.8 ms, s2 32.8->23.2,
+# s3 33.9->12.8, s5 16.5->10.6; the 16ch@128^3 scale LOSES — its collapsed
+# volume is 1.27 GB at batch 4 — and 128ch@16^3 is a wash, so the default
+# set is (0, 2, 3, 5)).
+
+
+def collapse_meta(meta):
+    """Static geometry of a collapsed scale: (gh, stride, XR, row_len)."""
+    D, H, W, C, g = meta
+    if W * C <= 128:
+        return W, W, 1, 4 * W * C
+    gh = max(g, 2)
+    s = gh - 1
+    XR = -(-(W - 1) // s)
+    return gh, s, XR, 4 * gh * C
+
+
+def collapse_corners(packed: jnp.ndarray, meta) -> jnp.ndarray:
+    """(B, D*H*W/g, g*C) fold-packed scale -> (B, D*H*XR, 4*gh*C) corner-
+    collapsed rows.  Row (z, y, r) holds quads (dz, dy) in ((0,0), (0,1),
+    (1,0), (1,1)) — +1 shifts edge-clamped, matching border-mode corner
+    clipping — each over x columns [r*(gh-1), r*(gh-1)+gh-1]."""
+    D, H, W, C, g = meta
+    B = packed.shape[0]
+    gh, s, XR, L4 = collapse_meta(meta)
+    vol = packed.reshape(B, D, H, W, C)
+
+    def sh_y(v):
+        return jnp.concatenate([v[:, :, 1:], v[:, :, -1:]], axis=2)
+
+    def sh_z(v):
+        return jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1)
+
+    if gh >= W:
+        def windows(v):
+            return v.reshape(B, D, H, 1, W * C)
+    else:
+        L = XR * s + 1
+        pad = L - W
+
+        def windows(v):
+            if pad:
+                v = jnp.concatenate(
+                    [v, jnp.broadcast_to(v[:, :, :, -1:],
+                                         (B, D, H, pad, C))], axis=3)
+            main = v[:, :, :, :XR * s].reshape(B, D, H, XR, s * C)
+            last = v[:, :, :, s::s].reshape(B, D, H, XR, C)
+            return jnp.concatenate([main, last], axis=-1)
+
+    quads = [vol, sh_y(vol), sh_z(vol), sh_z(sh_y(vol))]
+    out = jnp.concatenate([windows(q) for q in quads], axis=-1)
+    return out.reshape(B, D * H * XR, L4)
+
+
+def _sample_collapsed_one(cvol: jnp.ndarray, meta, pd: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Trilinear border/align-corners sample of one corner-collapsed scale.
+
+    cvol: (B, D*H*XR, 4*gh*C); pd: (B, Np, 3) -> (B, Np, C).  One gathered
+    row per tap; the 8-corner lerp becomes a (4*gh)-weight contraction
+    (quad weight x x-corner pair) in f32 — mathematically identical to the
+    take sampler's sequential lerp tree (products distributed)."""
+    D, H, W, C, g = meta
+    gh, s, XR, L4 = collapse_meta(meta)
+    B, Np, _ = pd.shape
+    x = _unnormalize(pd[..., 0], W, True)
+    y = _unnormalize(pd[..., 1], H, True)
+    z = _unnormalize(pd[..., 2], D, True)
+    x0, x1, wx, _, _ = _corner_weights(x, W, 'border')
+    y0, _, wy, _, _ = _corner_weights(y, H, 'border')
+    z0, _, wz, _, _ = _corner_weights(z, D, 'border')
+
+    # border x0 == W-1 can land one past the last window when s divides
+    # W-1 exactly; clamp — the last window still covers it (offset <= gh-1)
+    row_x = (jnp.minimum(x0 // s, XR - 1) if gh < W
+             else jnp.zeros_like(x0))
+    rows = (z0 * H + y0) * XR + row_x
+    gidx = jnp.arange(B, dtype=rows.dtype)[:, None] * (D * H * XR) + rows
+    vals = jnp.take(cvol.reshape(B * D * H * XR, L4), gidx.reshape(-1),
+                    axis=0, mode='clip').reshape(B, Np, 4 * gh, C)
+
+    base = row_x * s
+    off0 = x0 - base
+    off1 = x1 - base
+    ux = (jax.nn.one_hot(off0, gh, dtype=jnp.float32) * (1 - wx[..., None])
+          + jax.nn.one_hot(off1, gh, dtype=jnp.float32) * wx[..., None])
+    wq = jnp.stack([(1 - wz) * (1 - wy), (1 - wz) * wy,
+                    wz * (1 - wy), wz * wy], axis=-1)     # (B, Np, 4)
+    w = (wq[..., :, None] * ux[..., None, :]).reshape(B, Np, 4 * gh)
+    return jnp.einsum('bnk,bnkc->bnc', w, vals.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _fused_sample_packed(packed_feats, metas, pd: jnp.ndarray, group: int):
     """Cross-scale fused trilinear gather: ONE ``jnp.take`` per group of
     scales covers both z-planes and all four (y, x) corners at once.
@@ -386,7 +490,8 @@ def _fused_sample_packed(packed_feats, metas, pd: jnp.ndarray, group: int):
 
 def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
                              delta: float = 0.0722,
-                             fuse_group: int = 0) -> jnp.ndarray:
+                             fuse_group: int = 0,
+                             collapse_set=()) -> jnp.ndarray:
     """Packed equivalent of models.voxel.sample_multiscale: same 7
     displacement taps, same (c*7+d) channel ordering, same numerics.
 
@@ -395,21 +500,32 @@ def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
     scale shared buffer); fuse_group >= 2 batches the per-scale gathers
     ``fuse_group`` scales at a time through one shared flat buffer
     (``_fused_sample_packed``) — fewer, bigger gather ops for the
-    latency-bound train step."""
+    latency-bound train step.
+
+    collapse_set: scale indices whose entry in ``packed_feats`` is a
+    corner-COLLAPSED volume (``collapse_corners``); those scales gather one
+    row per tap instead of eight corner rows."""
     from list_tpu.models.voxel import make_displacements
 
     B, N, _ = p.shape
     disp = jnp.asarray(make_displacements(delta), p.dtype)  # (7, 3)
     pd = (p[:, None, :, :] + disp[None, :, None, :]).reshape(B, 7 * N, 3)
-    if fuse_group >= 2 and len(packed_feats) > 1:
-        samples = _fused_sample_packed(packed_feats, metas, pd, fuse_group)
+    collapse_set = frozenset(collapse_set)
+    samples = {i: _sample_collapsed_one(packed_feats[i], metas[i], pd)
+               for i in collapse_set if i < len(metas)}
+    rest = [i for i in range(len(metas)) if i not in samples]
+    if fuse_group >= 2 and len(rest) > 1:
+        fused = _fused_sample_packed([packed_feats[i] for i in rest],
+                                     [metas[i] for i in rest], pd,
+                                     fuse_group)
+        samples.update(dict(zip(rest, fused)))
     else:
-        samples = [_sample_packed_one(packed, meta, pd,
-                                      fuse_planes=fuse_group == 1)
-                   for packed, meta in zip(packed_feats, metas)]
+        for i in rest:
+            samples[i] = _sample_packed_one(packed_feats[i], metas[i], pd,
+                                            fuse_planes=fuse_group == 1)
     outs = []
-    for s, meta in zip(samples, metas):
-        s = s.reshape(B, 7, N, meta[3])
+    for i, meta in enumerate(metas):
+        s = samples[i].reshape(B, 7, N, meta[3])
         outs.append(jnp.transpose(s, (0, 2, 3, 1)))  # (B, N, C, 7)
     out = jnp.concatenate(outs, axis=2)
     return out.reshape(B, N, -1)

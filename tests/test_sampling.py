@@ -158,3 +158,71 @@ def test_fused_packed_sampler_grad_matches(rng):
         for a, b in zip(g0, gf):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=1e-5, rtol=1e-5)
+
+
+def test_collapsed_sampler_matches(rng):
+    """Corner-collapsed sampling (--collapse_samples) matches the general
+    sampler: one gathered row per tap, 8-corner lerp as a (4*gh)-weight
+    contraction.  Scales exercise the full-row (W*C <= 128), halo-window
+    (g >= 2) and paired-point (g == 1) collapse layouts, plus a mixed
+    collapsed/packed pyramid and border-clamped taps."""
+    import jax.numpy as jnp
+    from list_tpu.models.voxel import sample_multiscale
+    from list_tpu.ops.sampling import (collapse_corners, pack_channels_last,
+                                       sample_multiscale_packed)
+
+    feats, packed, metas = [], [], []
+    for res, c in ((8, 1), (8, 2), (4, 4), (2, 8), (8, 16), (4, 64)):
+        f = jnp.asarray(rng.randn(2, res, res, res, c).astype(np.float32))
+        feats.append(f)
+        p_, m_ = pack_channels_last(f)
+        packed.append(p_)
+        metas.append(m_)
+    p = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 33, 3)).astype(np.float32))
+    ref = np.asarray(sample_multiscale(feats, p))
+
+    # all collapsed
+    call = [collapse_corners(q, m) for q, m in zip(packed, metas)]
+    got = np.asarray(sample_multiscale_packed(
+        call, metas, p, collapse_set=tuple(range(len(metas)))))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    # mixed: collapse a subset, keep the rest fold-packed (fuse 0 and 1)
+    cset = (0, 2, 5)
+    mix = [call[i] if i in cset else packed[i] for i in range(len(metas))]
+    for fuse in (0, 1):
+        got = np.asarray(sample_multiscale_packed(mix, metas, p,
+                                                  fuse_group=fuse,
+                                                  collapse_set=cset))
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_collapsed_sampler_grad_matches(rng):
+    """d(sum)/d(volume) through collapse_corners + the collapsed sampler
+    (take backward -> scatter-add -> un-collapse accumulation) equals the
+    packed path's gradient."""
+    import jax
+    import jax.numpy as jnp
+    from list_tpu.ops.sampling import (collapse_corners, pack_channels_last,
+                                       sample_multiscale_packed)
+
+    f = jnp.asarray(np.random.RandomState(7).randn(1, 8, 8, 8, 2)
+                    .astype(np.float32))
+    p = jnp.asarray(np.random.RandomState(8).uniform(-1.1, 1.1, (1, 29, 3))
+                    .astype(np.float32))
+    cot = jnp.asarray(np.random.RandomState(9).randn(1, 29, 14)
+                      .astype(np.float32))
+
+    def packed_loss(vol):
+        q, m = pack_channels_last(vol)
+        return jnp.vdot(sample_multiscale_packed([q], [m], p), cot)
+
+    def collapsed_loss(vol):
+        q, m = pack_channels_last(vol)
+        c = collapse_corners(q, m)
+        return jnp.vdot(sample_multiscale_packed([c], [m], p,
+                                                 collapse_set=(0,)), cot)
+
+    g_ref = np.asarray(jax.grad(packed_loss)(f))
+    g_col = np.asarray(jax.grad(collapsed_loss)(f))
+    np.testing.assert_allclose(g_col, g_ref, atol=1e-5, rtol=1e-5)

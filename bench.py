@@ -451,24 +451,28 @@ def main():
     # (eval/metrics.py eval_mesh; reference evaluation/eval_util.py:23-51),
     # on the LAST fetched 128^3 grid.  The native loops thread over
     # LIST_TPU_NATIVE_THREADS workers (libmesh.cpp parallel_for).
+    # Timed on a phantom sphere-SDF grid at vox_res (the untrained bench
+    # net's isosurface is empty): measures the host eval stack itself, the
+    # same work a production sweep pays per evaluated shape.
     try:
         from list_tpu.eval.metrics import eval_mesh
         from list_tpu.utils.meshing import generate_mesh
         from list_tpu.utils.meshio import make_icosphere
         gt_mesh = make_icosphere(subdivisions=4, radius=0.4)
+        r = cfg.vox_res
+        ax = np.linspace(cfg.bb_min, cfg.bb_max, r, dtype=np.float32)
+        X, Y, Z = np.meshgrid(ax, ax, ax, indexing='ij')
+        phantom = np.sqrt(X * X + Y * Y + Z * Z) - 0.38
         t0 = time.time()
-        pred_mesh = generate_mesh(grid, cfg.bb_min, cfg.bb_max,
+        pred_mesh = generate_mesh(phantom, cfg.bb_min, cfg.bb_max,
                                   as_trimesh_obj=True)
         mc_s = time.time() - t0
-        if len(pred_mesh.vertices) > 10:
-            t0 = time.time()
-            scores = eval_mesh(pred_mesh, gt_mesh, cfg.bb_min, cfg.bb_max)
-            ev_s = time.time() - t0
-            extras['eval_s_per_shape'] = round(mc_s + ev_s, 3)
-            extras['eval_mc_s'] = round(mc_s, 3)
-            assert np.isfinite(scores.get('iou', 0.0))
-        else:  # untrained net: empty isosurface — time MC only
-            extras['eval_s_per_shape'] = f'mc_only: {round(mc_s, 3)}'
+        t0 = time.time()
+        scores = eval_mesh(pred_mesh, gt_mesh, cfg.bb_min, cfg.bb_max)
+        ev_s = time.time() - t0
+        extras['eval_s_per_shape'] = round(mc_s + ev_s, 3)
+        extras['eval_mc_s'] = round(mc_s, 3)
+        assert np.isfinite(scores.get('iou', 0.0))
     except Exception as e:  # pragma: no cover - bench resilience
         extras['eval_s_per_shape'] = f'failed: {e}'[:200]
 

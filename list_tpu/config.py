@@ -270,6 +270,18 @@ def _build_parser() -> ArgumentParser:
                              ' to initialize im_encoder/im_encoder2 from '
                              '(the reference uses ImageNet-pretrained '
                              'torchvision weights, modules.py:1030).')
+    parser.add_argument('--mesh_renorm', type=str, default='reference',
+                        choices=['reference', 'exact'],
+                        help='Vertex renormalization of extracted meshes. '
+                             '"reference" preserves the reference\'s '
+                             'global-scalar quirk (utils.py:176-177: '
+                             'v=(v-v.min())/v.max() over ALL coords) — '
+                             'near-harmless for bbox-filling ShapeNet '
+                             'shapes but it maps small centered '
+                             'isosurfaces onto non-centered blobs '
+                             '(measured IoU 0.508 vs 0.921 on an '
+                             'analytic sphere grid). "exact" uses the '
+                             'true grid-coordinate mapping.')
     parser.add_argument('--profile_dir', type=str, default='',
                         help='If set, write a jax.profiler trace here.')
     parser.add_argument('--num_workers', type=int, default=4)

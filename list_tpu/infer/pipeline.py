@@ -104,7 +104,9 @@ def _host_finish(executor, batch, fname, pred_values, eval_pred
     # cubes wants f32)
     pred_values = np.asarray(pred_values).astype(np.float32)
     mesh = generate_mesh(pred_values, executor.bb_min, executor.bb_max,
-                         as_trimesh_obj=True)
+                         as_trimesh_obj=True,
+                         renorm=getattr(executor.config, 'mesh_renorm',
+                                        'reference'))
     mesh.export(fname + '_pred.obj')
     if eval_pred and batch.get('gt_mesh') is not None:
         return executor.eval(mesh, batch['gt_mesh'])

@@ -38,10 +38,11 @@ DEFAULT_IM_ENC_LAYERS = (1, 1, 1, 1, 16, 32, 64, 128, 128)
 def parse_collapse_samples(spec, batch_size: int) -> tuple:
     """--collapse_samples -> static scale-index tuple.
 
-    'auto' picks the set measured fastest on v5e: (0, 2, 3, 5) at
-    batch <= 4 (full-step A/B: 1.245 vs 1.597 s/step, tools/
-    ab_train_collapse.py; the ~1.1 GB of collapsed volumes + grads fit) and
-    OFF above (the batch-8 step has ~250 MB HBM headroom — unmeasured);
+    'auto' picks the set measured fastest on v5e (tools/
+    ab_train_collapse.py full-step A/Bs, same chip session each):
+    batch <= 4 -> (0, 2, 3, 5): 1.245 vs 1.597 s/step;
+    batch  > 4 -> (0, 3, 5):    3.132 vs 4.100 (the full set also fits
+    the remat'd batch-8 step but measured 3.212).
     'none'/'' disables; an explicit '0,3,5' wins."""
     if isinstance(spec, (tuple, list)):
         return tuple(int(i) for i in spec)
@@ -49,7 +50,7 @@ def parse_collapse_samples(spec, batch_size: int) -> tuple:
     if spec in ('none', ''):
         return ()
     if spec == 'auto':
-        return (0, 2, 3, 5) if batch_size <= 4 else ()
+        return (0, 2, 3, 5) if batch_size <= 4 else (0, 3, 5)
     return tuple(int(t) for t in spec.replace(' ', '').split(',') if t)
 
 

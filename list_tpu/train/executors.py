@@ -501,7 +501,9 @@ class LISTExecutor(BaseExecutor):
         trans_mat = batch.get('transmat')
         pred_values = self.predict_grid(img, trans_mat)
         pred_mesh = generate_mesh(pred_values, self.bb_min, self.bb_max,
-                                  as_trimesh_obj=True)
+                                  as_trimesh_obj=True,
+                                  renorm=getattr(self.config, 'mesh_renorm',
+                                                 'reference'))
         eval_score = (self.eval(pred_mesh, mesh_gt)
                       if eval_pred and mesh_gt is not None else {})
         return [pred_mesh, pred_values], eval_score

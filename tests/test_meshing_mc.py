@@ -119,3 +119,35 @@ def test_mc_vertices_on_isosurface():
     dev = np.abs(np.linalg.norm(v - c, axis=1) - 0.35 * R)
     assert dev.max() < 0.05
     assert dev.mean() < 0.01
+
+
+def test_renorm_quirk_vs_exact_iou():
+    """The reference's global-scalar vertex renorm (utils.py:176-177,
+    preserved as --mesh_renorm reference) distorts small centered
+    isosurfaces — an analytic sphere grid scores IoU ~0.5 through it —
+    while renorm='exact' reconstructs it at IoU > 0.9.  Pins both
+    behaviors so neither silently changes."""
+    import numpy as np
+
+    from list_tpu.data.synthetic import sphere_sdf
+    from list_tpu.eval.metrics import implicit_waterproofing
+    from list_tpu.utils.meshing import generate_mesh
+
+    R, res = 0.35, 32
+    ax = (np.arange(res) + 0.5) / res - 0.5
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing='ij')
+    grid = (np.sqrt(X ** 2 + Y ** 2 + Z ** 2) - R).astype(np.float32)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.5, 0.5, (50000, 3))
+    gt_in = sphere_sdf(pts, (0, 0, 0), R) < 0
+
+    def iou(renorm):
+        mesh = generate_mesh(grid, -0.5, 0.5, as_trimesh_obj=True,
+                             renorm=renorm)
+        pin, _ = implicit_waterproofing(mesh, pts)
+        pin = pin.astype(bool)
+        return (np.logical_and(gt_in, pin).sum()
+                / np.logical_or(gt_in, pin).sum())
+
+    assert iou('exact') > 0.9
+    assert 0.3 < iou('reference') < 0.7  # the quirk, faithfully preserved

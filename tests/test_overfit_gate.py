@@ -19,13 +19,13 @@ import numpy as np
 
 from list_tpu.config import default_config
 from list_tpu.data.synthetic import sphere_sdf
-from list_tpu.eval.metrics import check_mesh_contains
+from list_tpu.eval.metrics import implicit_waterproofing
 from list_tpu.models import LIST
 from list_tpu.train.executors import LISTExecutor
 from list_tpu.utils.meshing import generate_mesh
 
 RADIUS = 0.35
-STEPS = 240
+STEPS = 600
 N_QUERY = 2048
 
 
@@ -42,10 +42,10 @@ def test_overfit_sphere_iou_gate():
         vox_res=32, img_res=32, sample_point_density=N_QUERY,
         point_feat=[128, 8, 8, 3], point_degree=[2, 2, 4],
         im_enc_layers=[1, 1, 1, 1, 2, 4, 4, 4], sdf_scale=10.0,
-        test_pointnum=4096, lr=2e-3, train_batch_size=1)
+        test_pointnum=4096, lr=3e-3, train_batch_size=1)
     model = LIST(vox_res=cfg.vox_res, point_feat=tuple(cfg.point_feat),
                  point_degree=tuple(cfg.point_degree),
-                 im_enc_layers=tuple(cfg.im_enc_layers), h_dim=32,
+                 im_enc_layers=tuple(cfg.im_enc_layers), h_dim=64,
                  support=2, im_filters=(8, 8, 8, 8, 8))
     ex = LISTExecutor(cfg, model)
 
@@ -85,16 +85,24 @@ def test_overfit_sphere_iou_gate():
     assert last['sdf_loss'] < 0.5 * first['sdf_loss'], (first, last)
 
     grid = np.asarray(ex.predict_grid(image), np.float32)
+    # renorm='exact': the reference's global-scalar renorm quirk
+    # (utils.py:176-177, preserved as the sweep default for parity) maps a
+    # small centered isosurface onto a non-centered blob — measured IoU
+    # 0.508 even for an ANALYTIC sphere grid vs 0.921 exact.  The gate
+    # asserts geometry, so it uses the exact grid-coordinate mapping.
     mesh = generate_mesh(grid.reshape(r, r, r), cfg.bb_min, cfg.bb_max,
-                         as_trimesh_obj=True)
+                         as_trimesh_obj=True, renorm='exact')
     assert len(mesh.vertices) > 10, 'trained model produced an empty mesh'
 
     pts = rng.uniform(-0.5, 0.5, (100000, 3))
     gt_in = sphere_sdf(pts, (0, 0, 0), RADIUS) < 0
-    pred_in = check_mesh_contains(mesh, pts)
+    pred_in, _ = implicit_waterproofing(mesh, pts)
+    pred_in = pred_in.astype(bool)
     inter = np.logical_and(gt_in, pred_in).sum()
     union = np.logical_or(gt_in, pred_in).sum()
     iou = inter / max(union, 1)
     print(f'overfit gate: iou={iou:.3f} sdf_loss {first["sdf_loss"]:.3f}'
           f' -> {last["sdf_loss"]:.3f}')
-    assert iou > 0.5, f'trained reconstruction IoU too low: {iou:.3f}'
+    # tuned trajectory (1-core CPU, ~10 min): iou 0.39 @ 200 steps,
+    # 0.79 @ 400, 0.987 @ 600 — 0.7 leaves seed/rounding margin
+    assert iou > 0.7, f'trained reconstruction IoU too low: {iou:.3f}'

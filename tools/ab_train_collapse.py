@@ -36,6 +36,23 @@ def main():
     print(f'devices={jax.devices()} batch={bsz} variants={variants}',
           flush=True)
     for spec in variants:
+        try:
+            _run_variant(spec, bsz, batch_np)
+        except Exception as e:
+            print(f'collapse={spec}: FAILED {type(e).__name__}: '
+                  f'{str(e)[:300]}', flush=True)
+        import gc
+        gc.collect()
+
+
+def _run_variant(spec, bsz, batch_np):
+    import jax
+    from list_tpu.config import default_config
+    from list_tpu.models import LIST
+    from list_tpu.parallel.mesh import shard_batch
+    from list_tpu.train.executors import LISTExecutor
+
+    if True:
         cfg = default_config(
             sdf_scale=10.0, vox_res=128, train_batch_size=bsz,
             sample_point_density=32768, sample_distribution=[1.0],
@@ -68,8 +85,6 @@ def main():
         print(f'collapse={spec}: step {step:.3f} s (compile {compile_s:.1f},'
               f' rtt {rtt:.2f}, sdf_loss {sdf:.4f})', flush=True)
         del ex, model, batch, losses
-        import gc
-        gc.collect()
 
 
 if __name__ == '__main__':

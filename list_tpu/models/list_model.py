@@ -36,22 +36,32 @@ DEFAULT_IM_ENC_LAYERS = (1, 1, 1, 1, 16, 32, 64, 128, 128)
 
 
 def parse_collapse_samples(spec, batch_size: int) -> tuple:
-    """--collapse_samples -> static scale-index tuple.
+    """--collapse_samples -> (full_indices, halo_indices) static tuples.
+    A token like '1h' collapses that scale in 'halo' mode (x window only,
+    4 rows/tap, ~+19%% bytes) instead of the full 4-quad replication.
 
     'auto' picks the set measured fastest on v5e (tools/
     ab_train_collapse.py full-step A/Bs, same chip session each):
-    batch <= 4 -> (0, 2, 3, 5): 1.245 vs 1.597 s/step;
-    batch  > 4 -> (0, 3, 5):    3.132 vs 4.100 (the full set also fits
-    the remat'd batch-8 step but measured 3.212).
-    'none'/'' disables; an explicit '0,3,5' wins."""
+    batch <= 4 -> full (0, 2, 3, 5) + halo 1: 1.201 vs 1.470 same-session
+                  (collapse-off control 1.597);
+    batch  > 4 -> full (0, 3, 5) + halo 1: 3.029 (vs 3.132 without halo,
+                  4.100 collapse-off; the full set incl. 2 also fits the
+                  remat'd batch-8 step but measured 3.212).
+    'none'/'' disables; an explicit '0,3,5,1h' wins."""
     if isinstance(spec, (tuple, list)):
-        return tuple(int(i) for i in spec)
+        return tuple(int(i) for i in spec), ()
     spec = str(spec).strip().lower()
     if spec in ('none', ''):
-        return ()
+        return (), ()
     if spec == 'auto':
-        return (0, 2, 3, 5) if batch_size <= 4 else (0, 3, 5)
-    return tuple(int(t) for t in spec.replace(' ', '').split(',') if t)
+        return (((0, 2, 3, 5), (1,)) if batch_size <= 4
+                else ((0, 3, 5), (1,)))
+    full, halo = [], []
+    for t in spec.replace(' ', '').split(','):
+        if not t:
+            continue
+        (halo if t.endswith('h') else full).append(int(t.rstrip('h')))
+    return tuple(full), tuple(halo)
 
 
 class CoarseNet(nn.Module):
@@ -134,6 +144,7 @@ class LIST(nn.Module):
     # 3.1x / 1.4x / 2.7x / 1.6x on scales 0/2/3/5; scale 1 (16ch@128^3)
     # LOSES (1.27 GB collapsed volume) and scale 4 is a wash.
     collapse_samples: Sequence[int] = ()
+    collapse_samples_halo: Sequence[int] = ()
     # --remat_save_samples: under decode remat, SAVE the named sampled
     # stacks ('decode_vox', optionally 'decode_percep') instead of
     # recomputing them — the remat backward then skips the forward
@@ -152,6 +163,9 @@ class LIST(nn.Module):
     @classmethod
     def from_config(cls, config) -> 'LIST':
         rd = int(getattr(config, 'remat_decode', -1))
+        _cs = parse_collapse_samples(
+            getattr(config, 'collapse_samples', 'none'),
+            int(getattr(config, 'train_batch_size', 4)))
         return cls(vox_res=config.vox_res, bb_min=config.bb_min,
                    bb_max=config.bb_max, point_feat=tuple(config.point_feat),
                    point_degree=tuple(config.point_degree),
@@ -160,9 +174,7 @@ class LIST(nn.Module):
                    remat_decode=(None if rd < 0 else bool(rd)),
                    fuse_gather=int(
                        getattr(config, 'fuse_sample_gathers', 0)),
-                   collapse_samples=parse_collapse_samples(
-                       getattr(config, 'collapse_samples', 'none'),
-                       int(getattr(config, 'train_batch_size', 4))),
+                   collapse_samples=_cs[0], collapse_samples_halo=_cs[1],
                    remat_save_samples=int(
                        getattr(config, 'remat_save_samples', 0)),
                    train_query_chunks=int(
@@ -178,11 +190,15 @@ class LIST(nn.Module):
         self.vox_encoder = vox_cls(layers=tuple(self.im_enc_layers),
                                    cmajor=True,
                                    packed_dtype=self.vox_packed_dtype,
-                                   collapse_set=tuple(self.collapse_samples))
+                                   collapse_set=tuple(self.collapse_samples),
+                                   collapse_halo=tuple(
+                                       self.collapse_samples_halo))
         self.sdf_decoder = VoxelDecoder2(h_dim=self.h_dim,
                                          fuse_gather=self.fuse_gather,
                                          collapse_set=tuple(
-                                             self.collapse_samples))
+                                             self.collapse_samples),
+                                         collapse_halo=tuple(
+                                             self.collapse_samples_halo))
         self.percep_pooling = PerceptualPooling()
         enc_kw = ({} if self.im_filters is None
                   else dict(filters=tuple(self.im_filters),

@@ -97,6 +97,9 @@ class VoxelEncoder2(nn.Module):
     # ~4x that scale's feature bytes, built once per step here (outside the
     # decode chunk loop).  Empty = plain fold-packed everywhere.
     collapse_set: Sequence[int] = ()
+    # Scale indices collapsed in 'halo' mode (x window only, 4 rows/tap,
+    # ~+19% bytes — for scales whose full-collapse volume is too big).
+    collapse_halo: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, occ: jnp.ndarray, train: bool = False,
@@ -120,6 +123,8 @@ class VoxelEncoder2(nn.Module):
                            else pack_channels_last(f, pdt))
                 if len(features) in self.collapse_set:
                     p = collapse_corners(p, meta)
+                elif len(features) in self.collapse_halo:
+                    p = collapse_corners(p, meta, 'halo')
                 features.append(p)
                 metas.append(meta)
             else:
@@ -199,8 +204,9 @@ class VoxelDecoder2(nn.Module):
     # training sampler (0/1 = per-scale takes).
     fuse_gather: int = 0
     # --collapse_samples: scale indices arriving corner-collapsed from the
-    # encoder (must match VoxelEncoder2.collapse_set).
+    # encoder (must match VoxelEncoder2.collapse_set / collapse_halo).
     collapse_set: Sequence[int] = ()
+    collapse_halo: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, p: jnp.ndarray, feat: Sequence[jnp.ndarray],
@@ -211,7 +217,8 @@ class VoxelDecoder2(nn.Module):
             from list_tpu.ops.sampling import sample_multiscale_packed
             vox = sample_multiscale_packed(feat, vox_meta, p, self.delta,
                                            fuse_group=self.fuse_gather,
-                                           collapse_set=self.collapse_set)
+                                           collapse_set=self.collapse_set,
+                                           collapse_halo=self.collapse_halo)
         else:
             vox = sample_multiscale(feat, p, self.delta)
         # Named for the selective decode-remat policy

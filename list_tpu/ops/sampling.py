@@ -315,25 +315,34 @@ def _sample_packed_one(packed: jnp.ndarray, meta, pd: jnp.ndarray,
 # set is (0, 2, 3, 5)).
 
 
-def collapse_meta(meta):
-    """Static geometry of a collapsed scale: (gh, stride, XR, row_len)."""
+def collapse_meta(meta, mode: str = 'full'):
+    """Static geometry of a collapsed scale: (gh, stride, XR, row_len).
+
+    mode 'full' replicates the 4 (z, y) quads into the row (1 gathered row
+    per tap, ~4x volume bytes); 'halo' only overlap-windows x (4 rows per
+    tap — the z/y corners stay separate fetches — at ~W/(W-g) x volume:
+    +19% for the 16ch@128^3 scale, whose full-collapse volume is 1.27 GB
+    and measured slower)."""
     D, H, W, C, g = meta
+    q = 4 if mode == 'full' else 1
     if W * C <= 128:
-        return W, W, 1, 4 * W * C
+        return W, W, 1, q * W * C
     gh = max(g, 2)
     s = gh - 1
     XR = -(-(W - 1) // s)
-    return gh, s, XR, 4 * gh * C
+    return gh, s, XR, q * gh * C
 
 
-def collapse_corners(packed: jnp.ndarray, meta) -> jnp.ndarray:
-    """(B, D*H*W/g, g*C) fold-packed scale -> (B, D*H*XR, 4*gh*C) corner-
-    collapsed rows.  Row (z, y, r) holds quads (dz, dy) in ((0,0), (0,1),
-    (1,0), (1,1)) — +1 shifts edge-clamped, matching border-mode corner
-    clipping — each over x columns [r*(gh-1), r*(gh-1)+gh-1]."""
+def collapse_corners(packed: jnp.ndarray, meta,
+                     mode: str = 'full') -> jnp.ndarray:
+    """(B, D*H*W/g, g*C) fold-packed scale -> (B, D*H*XR, L4) corner-
+    collapsed rows.  In 'full' mode row (z, y, r) holds quads (dz, dy) in
+    ((0,0), (0,1), (1,0), (1,1)) — +1 shifts edge-clamped, matching
+    border-mode corner clipping — each over x columns
+    [r*(gh-1), r*(gh-1)+gh-1]; 'halo' mode stores only the x window."""
     D, H, W, C, g = meta
     B = packed.shape[0]
-    gh, s, XR, L4 = collapse_meta(meta)
+    gh, s, XR, L4 = collapse_meta(meta, mode)
     vol = packed.reshape(B, D, H, W, C)
 
     def sh_y(v):
@@ -358,47 +367,67 @@ def collapse_corners(packed: jnp.ndarray, meta) -> jnp.ndarray:
             last = v[:, :, :, s::s].reshape(B, D, H, XR, C)
             return jnp.concatenate([main, last], axis=-1)
 
-    quads = [vol, sh_y(vol), sh_z(vol), sh_z(sh_y(vol))]
-    out = jnp.concatenate([windows(q) for q in quads], axis=-1)
+    quads = ([vol, sh_y(vol), sh_z(vol), sh_z(sh_y(vol))]
+             if mode == 'full' else [vol])
+    out = jnp.concatenate([windows(q) for q in quads], axis=-1) \
+        if len(quads) > 1 else windows(quads[0])
     return out.reshape(B, D * H * XR, L4)
 
 
-def _sample_collapsed_one(cvol: jnp.ndarray, meta, pd: jnp.ndarray
-                          ) -> jnp.ndarray:
+def _sample_collapsed_one(cvol: jnp.ndarray, meta, pd: jnp.ndarray,
+                          mode: str = 'full') -> jnp.ndarray:
     """Trilinear border/align-corners sample of one corner-collapsed scale.
 
-    cvol: (B, D*H*XR, 4*gh*C); pd: (B, Np, 3) -> (B, Np, C).  One gathered
-    row per tap; the 8-corner lerp becomes a (4*gh)-weight contraction
-    (quad weight x x-corner pair) in f32 — mathematically identical to the
+    cvol: (B, D*H*XR, L4); pd: (B, Np, 3) -> (B, Np, C).  'full': one
+    gathered row per tap; the 8-corner lerp becomes a (4*gh)-weight
+    contraction (quad weight x x-corner pair).  'halo': four gathered rows
+    per tap (the z/y corner combinations) with the x pair in-row.  Both
+    run the weight contraction in f32 — mathematically identical to the
     take sampler's sequential lerp tree (products distributed)."""
     D, H, W, C, g = meta
-    gh, s, XR, L4 = collapse_meta(meta)
+    gh, s, XR, L4 = collapse_meta(meta, mode)
     B, Np, _ = pd.shape
+    M4 = D * H * XR
     x = _unnormalize(pd[..., 0], W, True)
     y = _unnormalize(pd[..., 1], H, True)
     z = _unnormalize(pd[..., 2], D, True)
     x0, x1, wx, _, _ = _corner_weights(x, W, 'border')
-    y0, _, wy, _, _ = _corner_weights(y, H, 'border')
-    z0, _, wz, _, _ = _corner_weights(z, D, 'border')
+    y0, y1, wy, _, _ = _corner_weights(y, H, 'border')
+    z0, z1, wz, _, _ = _corner_weights(z, D, 'border')
 
     # border x0 == W-1 can land one past the last window when s divides
     # W-1 exactly; clamp — the last window still covers it (offset <= gh-1)
     row_x = (jnp.minimum(x0 // s, XR - 1) if gh < W
              else jnp.zeros_like(x0))
-    rows = (z0 * H + y0) * XR + row_x
-    gidx = jnp.arange(B, dtype=rows.dtype)[:, None] * (D * H * XR) + rows
-    vals = jnp.take(cvol.reshape(B * D * H * XR, L4), gidx.reshape(-1),
-                    axis=0, mode='clip').reshape(B, Np, 4 * gh, C)
-
     base = row_x * s
-    off0 = x0 - base
-    off1 = x1 - base
-    ux = (jax.nn.one_hot(off0, gh, dtype=jnp.float32) * (1 - wx[..., None])
-          + jax.nn.one_hot(off1, gh, dtype=jnp.float32) * wx[..., None])
+    ux = (jax.nn.one_hot(x0 - base, gh, dtype=jnp.float32)
+          * (1 - wx[..., None])
+          + jax.nn.one_hot(x1 - base, gh, dtype=jnp.float32)
+          * wx[..., None])
+
+    if mode == 'full':
+        rows = (z0 * H + y0) * XR + row_x
+        gidx = jnp.arange(B, dtype=rows.dtype)[:, None] * M4 + rows
+        vals = jnp.take(cvol.reshape(B * M4, L4), gidx.reshape(-1),
+                        axis=0, mode='clip').reshape(B, Np, 4 * gh, C)
+        wq = jnp.stack([(1 - wz) * (1 - wy), (1 - wz) * wy,
+                        wz * (1 - wy), wz * wy], axis=-1)  # (B, Np, 4)
+        w = (wq[..., :, None] * ux[..., None, :]).reshape(B, Np, 4 * gh)
+        return jnp.einsum('bnk,bnkc->bnc', w, vals.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST)
+
+    # halo: one batched take of the 4 (z, y) corner rows
+    rows = jnp.stack([(z0 * H + y0) * XR + row_x,
+                      (z0 * H + y1) * XR + row_x,
+                      (z1 * H + y0) * XR + row_x,
+                      (z1 * H + y1) * XR + row_x], axis=1)  # (B, 4, Np)
+    gidx = jnp.arange(B, dtype=rows.dtype)[:, None, None] * M4 + rows
+    vals = jnp.take(cvol.reshape(B * M4, L4), gidx.reshape(-1),
+                    axis=0, mode='clip').reshape(B, 4, Np, gh, C)
     wq = jnp.stack([(1 - wz) * (1 - wy), (1 - wz) * wy,
-                    wz * (1 - wy), wz * wy], axis=-1)     # (B, Np, 4)
-    w = (wq[..., :, None] * ux[..., None, :]).reshape(B, Np, 4 * gh)
-    return jnp.einsum('bnk,bnkc->bnc', w, vals.astype(jnp.float32),
+                    wz * (1 - wy), wz * wy], axis=1)        # (B, 4, Np)
+    w = wq[..., None] * ux[:, None]                          # (B, 4, Np, gh)
+    return jnp.einsum('bknx,bknxc->bnc', w, vals.astype(jnp.float32),
                       precision=jax.lax.Precision.HIGHEST)
 
 
@@ -491,7 +520,8 @@ def _fused_sample_packed(packed_feats, metas, pd: jnp.ndarray, group: int):
 def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
                              delta: float = 0.0722,
                              fuse_group: int = 0,
-                             collapse_set=()) -> jnp.ndarray:
+                             collapse_set=(),
+                             collapse_halo=()) -> jnp.ndarray:
     """Packed equivalent of models.voxel.sample_multiscale: same 7
     displacement taps, same (c*7+d) channel ordering, same numerics.
 
@@ -504,15 +534,20 @@ def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
 
     collapse_set: scale indices whose entry in ``packed_feats`` is a
     corner-COLLAPSED volume (``collapse_corners``); those scales gather one
-    row per tap instead of eight corner rows."""
+    row per tap instead of eight corner rows.  collapse_halo: indices
+    collapsed in 'halo' mode (x window only; four rows per tap)."""
     from list_tpu.models.voxel import make_displacements
 
     B, N, _ = p.shape
     disp = jnp.asarray(make_displacements(delta), p.dtype)  # (7, 3)
     pd = (p[:, None, :, :] + disp[None, :, None, :]).reshape(B, 7 * N, 3)
     collapse_set = frozenset(collapse_set)
+    collapse_halo = frozenset(collapse_halo) - collapse_set
     samples = {i: _sample_collapsed_one(packed_feats[i], metas[i], pd)
                for i in collapse_set if i < len(metas)}
+    samples.update({
+        i: _sample_collapsed_one(packed_feats[i], metas[i], pd, 'halo')
+        for i in collapse_halo if i < len(metas)})
     rest = [i for i in range(len(metas)) if i not in samples]
     if fuse_group >= 2 and len(rest) > 1:
         fused = _fused_sample_packed([packed_feats[i] for i in rest],

@@ -226,3 +226,59 @@ def test_collapsed_sampler_grad_matches(rng):
     g_ref = np.asarray(jax.grad(packed_loss)(f))
     g_col = np.asarray(jax.grad(collapsed_loss)(f))
     np.testing.assert_allclose(g_col, g_ref, atol=1e-5, rtol=1e-5)
+
+
+def test_halo_collapsed_sampler_matches(rng):
+    """'halo' collapse mode (x window only, 4 rows per tap) matches the
+    general sampler in value and volume-gradient, mixed with full-collapse
+    and plain packed scales."""
+    import jax
+    import jax.numpy as jnp
+    from list_tpu.models.voxel import sample_multiscale
+    from list_tpu.ops.sampling import (collapse_corners, pack_channels_last,
+                                       sample_multiscale_packed)
+
+    feats, packed, metas = [], [], []
+    for res, c in ((8, 1), (8, 2), (8, 16), (4, 64), (2, 8)):
+        f = jnp.asarray(rng.randn(2, res, res, res, c).astype(np.float32))
+        feats.append(f)
+        p_, m_ = pack_channels_last(f)
+        packed.append(p_)
+        metas.append(m_)
+    p = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 33, 3)).astype(np.float32))
+    ref = np.asarray(sample_multiscale(feats, p))
+
+    # all halo
+    hall = [collapse_corners(q, m, 'halo') for q, m in zip(packed, metas)]
+    got = np.asarray(sample_multiscale_packed(
+        hall, metas, p, collapse_halo=tuple(range(len(metas)))))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    # mixed: full {0}, halo {2}, plain rest
+    mix = [collapse_corners(packed[0], metas[0]), packed[1],
+           hall[2], packed[3], packed[4]]
+    got = np.asarray(sample_multiscale_packed(mix, metas, p,
+                                              collapse_set=(0,),
+                                              collapse_halo=(2,)))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    # gradient through the halo path
+    cot = jnp.asarray(rng.randn(2, 33, got.shape[-1]).astype(np.float32))
+
+    def halo_loss(vols):
+        qs, ms = zip(*[pack_channels_last(v) for v in vols])
+        cs = [collapse_corners(q, m, 'halo') for q, m in zip(qs, ms)]
+        return jnp.vdot(sample_multiscale_packed(
+            list(cs), list(ms), p,
+            collapse_halo=tuple(range(len(ms)))), cot)
+
+    def plain_loss(vols):
+        qs, ms = zip(*[pack_channels_last(v) for v in vols])
+        return jnp.vdot(sample_multiscale_packed(list(qs), list(ms), p),
+                        cot)
+
+    g_h = jax.grad(halo_loss)(feats)
+    g_p = jax.grad(plain_loss)(feats)
+    for a, b in zip(g_h, g_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

@@ -230,3 +230,15 @@ def test_list_chunked_training_decode_parity():
         # bf16 fold-packed features + remat recompute reorder rounding;
         # bf16 eps is ~0.8%, so 1% relative is the right noise floor.
         assert d <= 1e-2 * max(m, 1.0), (jax.tree_util.keystr(k), d, m)
+
+
+def test_parse_collapse_samples():
+    """--collapse_samples spec parser: auto per batch, halo tokens, none."""
+    from list_tpu.models.list_model import parse_collapse_samples as p
+    assert p('auto', 4) == ((0, 2, 3, 5), (1,))
+    assert p('auto', 8) == ((0, 3, 5), (1,))
+    assert p('none', 4) == ((), ())
+    assert p('', 4) == ((), ())
+    assert p('0,3,5', 8) == ((0, 3, 5), ())
+    assert p('0,1h,3, 4H', 4) == ((0, 3), (1, 4))
+    assert p((0, 2), 4) == ((0, 2), ())

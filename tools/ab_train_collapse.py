@@ -5,6 +5,7 @@ Usage:
       python tools/ab_train_collapse.py [batch] [variant ...]
 variants default to: none 0,2,3,5   (batch default 4; bench batch-4 config)
 """
+import os
 import sys
 import time
 
@@ -52,12 +53,18 @@ def _run_variant(spec, bsz, batch_np):
     from list_tpu.parallel.mesh import shard_batch
     from list_tpu.train.executors import LISTExecutor
 
+    # variant syntax: "<collapse_spec>[@<train_query_chunks>]"
+    chunks = None
+    if '@' in spec:
+        spec, chunks = spec.split('@')
+        chunks = int(chunks)
     if True:
         cfg = default_config(
             sdf_scale=10.0, vox_res=128, train_batch_size=bsz,
             sample_point_density=32768, sample_distribution=[1.0],
             remat_decode=0 if bsz <= 4 else -1,
-            train_query_chunks=2 if bsz <= 4 else 4,
+            train_query_chunks=chunks if chunks else int(os.environ.get(
+                'AB_CHUNKS', 2 if bsz <= 4 else 4)),
             fuse_sample_gathers=0 if bsz <= 4 else 1,
             remat_save_samples=0 if bsz <= 4 else 1,
             collapse_samples=spec)

@@ -140,10 +140,18 @@ def main():
         return jnp.sum(jax.vmap(one)(v, s))
 
     t_pt = timed(jax.jit(ptake), vol, idx)
-    t_pb = timed(jax.jit(pbrick), vol3, starts)
     print(f'percep: take fwd {t_pt*1e3:8.2f} ms '
-          f'({4*B*4*NQ/t_pt/1e6:6.1f}M idx/s) | brick(2,2) fwd '
-          f'{t_pb*1e3:8.2f} ms ({4*B*NQ/t_pb/1e6:5.2f}M DMAs/s)', flush=True)
+          f'({4*B*4*NQ/t_pt/1e6:6.1f}M idx/s)', flush=True)
+    try:
+        # measured 2026-08-20: this 2D (2,2,512) slice-gather ABORTS the
+        # v5e backend ('TPU backend error (Aborted)') — kept behind a
+        # guard as the documented negative result.
+        t_pb = timed(jax.jit(pbrick), vol3, starts)
+        print(f'percep: brick(2,2) fwd {t_pb*1e3:8.2f} ms '
+              f'({4*B*NQ/t_pb/1e6:5.2f}M DMAs/s)', flush=True)
+    except Exception as e:
+        print(f'percep brick(2,2): FAILED {type(e).__name__}: '
+              f'{str(e)[:120]}', flush=True)
 
 
 if __name__ == '__main__':

@@ -132,6 +132,7 @@ def main():
                 'occ': (rng.rand(bsz, 128, 128, 128) > 0.99).astype(
                     np.float32),
             }
+            host_batch = {k: v for k, v in batch.items()}  # keep host copy
             bex.init_state(batch)
             t0 = time.time()
             _, losses = bex.train(batch)  # compile + step
@@ -168,6 +169,36 @@ def main():
             extras['train_losses'] = {k: round(v, 4)
                                       for k, v in host_losses.items()}
             extras['train_batch'] = bsz
+            extras['train_step_s_single'] = round(step_s, 3)
+            # ---- multi-step dispatch (--steps_per_dispatch): K optimizer
+            # steps inside ONE lax.scan'd program.  The r4 post-halo trace
+            # put the device step at 0.947 s vs a 1.2-1.6 s single-dispatch
+            # wall — 0.25-0.65 s/step of host/dispatch gap the K-scan
+            # amortizes by K (VERDICT r4 #1).  Same math per step (parity:
+            # tests/test_train.py::test_steps_per_dispatch_parity).
+            try:
+                K = int(os.environ.get('BENCH_STEPS_PER_DISPATCH', 4))
+                from list_tpu.parallel.mesh import shard_batch_stacked
+                stacked = shard_batch_stacked(
+                    bex.mesh, {k: np.broadcast_to(
+                        v[None], (K,) + v.shape) for k, v in
+                        host_batch.items()})
+                t0 = time.time()
+                _, ml = bex.train_multi_device(stacked)  # compile + K steps
+                _fetch(ml['sdf_loss'][-1])
+                extras['train_multi_compile_s'] = round(time.time() - t0, 1)
+                n_disp = 2
+                t0 = time.time()
+                for _ in range(n_disp):
+                    _, ml = bex.train_multi_device(stacked)
+                _fetch(ml['sdf_loss'][-1])
+                step_k = max(time.time() - t0 - rtt, 1e-9) / (n_disp * K)
+                extras[f'train_step_s_k{K}'] = round(step_k, 3)
+                assert np.isfinite(_fetch(ml['sdf_loss'])).all()
+                if step_k < step_s:
+                    step_s = step_k
+            except Exception as e:  # pragma: no cover - bench resilience
+                extras['train_multi_fail'] = f'{type(e).__name__}: {e}'[:200]
             extras['train_step_s'] = round(step_s, 3)
             extras['train_steps_per_sec'] = round(1.0 / step_s, 3)
             # per-query train throughput vs the derived reference anchors
@@ -262,15 +293,19 @@ def main():
     # ~0.06-0.1 s (the r2 0.25-0.29 vs 0.22 device-bound gap).
     n_meshes = 16
     trials = []
+    from list_tpu.ops.band import fetch_grid_f32
     with ThreadPoolExecutor(max_workers=5) as pool:
         pool.submit(lambda: None).result()  # warm the pool
         for _ in range(3):
             t0 = time.time()
-            # device grids ride the host link in bf16 (--fetch_dtype
-            # default; halves bytes, upcast host-side like infer/pipeline)
+            # --fetch_mode band (default): the wire is sign bits + iso-band
+            # values (~0.77 MB vs the 4.2 MB bf16 grid) packed on-device in
+            # the same dispatch; fetch workers decode to the f32 grid.
+            # Mesh-exact vs the full fetch (tests/test_band.py) and immune
+            # to relay fetch weather — the r4 headline regression was
+            # entirely wire-bound (VERDICT r4 #3).
             futs = [pool.submit(
-                lambda g: np.asarray(g).astype(np.float32),
-                ex.predict_grid(img, device_out=True))
+                fetch_grid_f32, ex.predict_grid(img, device_out=True))
                     for _ in range(n_meshes)]
             grids = [f.result() for f in futs]
             trials.append((time.time() - t0) / n_meshes)
@@ -278,8 +313,26 @@ def main():
             del grids
     sec_per_mesh = min(trials)
     qps = n_queries / sec_per_mesh
+    extras['fetch_mode'] = getattr(cfg, 'fetch_mode', 'grid')
     extras['sec_per_mesh_128'] = round(sec_per_mesh, 4)
     extras['sec_per_mesh_128_trials'] = [round(t, 4) for t in trials]
+
+    # grid-wire control trial (the r1-r4 wire): quantifies what the band
+    # codec saves under the CURRENT relay weather
+    try:
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            pool.submit(lambda: None).result()
+            t0 = time.time()
+            futs = [pool.submit(
+                fetch_grid_f32,
+                ex.predict_grid(img, device_out=True, fetch_mode='grid'))
+                    for _ in range(8)]
+            gsg = [f.result() for f in futs]
+            extras['sec_per_mesh_128_gridwire'] = round(
+                (time.time() - t0) / 8, 4)
+            del gsg
+    except Exception as e:  # pragma: no cover - bench resilience
+        extras['sec_per_mesh_128_gridwire'] = f'failed: {e}'[:120]
 
     times = []
     for _ in range(3):
@@ -294,7 +347,7 @@ def main():
     try:
         imgs4 = rng.rand(4, 224, 224, 3).astype(np.float32)
         for g in ex.predict_grid_batch(imgs4, device_out=True):  # compile
-            _fetch(np.asarray(g[0, 0, :8]))
+            _fetch(fetch_grid_f32(g)[0, 0, :8])
         reps = 2
         with ThreadPoolExecutor(max_workers=5) as pool:
             pool.submit(lambda: None).result()
@@ -302,8 +355,7 @@ def main():
             futs = []
             for _ in range(reps):
                 for g in ex.predict_grid_batch(imgs4, device_out=True):
-                    futs.append(pool.submit(
-                        lambda a: np.asarray(a).astype(np.float32), g))
+                    futs.append(pool.submit(fetch_grid_f32, g))
             gs4 = [f.result() for f in futs]
             bt = (time.time() - t0) / (reps * 4)
         assert all(np.isfinite(g).all() for g in gs4)
@@ -368,6 +420,23 @@ def main():
         # single-stream wire bandwidth (f32 grids here): relay weather
         # gauge — probe_fetch.py measured 1.4-37 MB/s on this link
         extras['wire_mbps'] = round(n_queries * 4 / 1e6 / fetch_s, 1)
+        # band wire: buffer size + single-stream fetch + host decode cost
+        bg = ex.predict_grid(img, device_out=True)
+        if hasattr(bg, 'band'):
+            extras['band_wire_kb'] = round(int(bg.band.size) * 4 / 1e3, 1)
+            bbufs = [ex.predict_grid(img, device_out=True).band + np.uint32(i)
+                     for i in range(3)]
+            for b in bbufs:
+                b.block_until_ready()
+            t0 = time.time()
+            hb = [np.asarray(b) for b in bbufs]
+            extras['band_fetch_s'] = round((time.time() - t0) / 3, 4)
+            from list_tpu.ops.band import band_decode
+            buf_host = np.asarray(bg.band)
+            t0 = time.time()
+            band_decode(buf_host, cfg.vox_res, cfg.fetch_dtype)
+            extras['band_host_decode_s'] = round(time.time() - t0, 4)
+            del bbufs, hb
         # effective throughput on the reference-equivalent decoder FLOPs
         eff_tflops = n_queries * FLOP_PER_QUERY / decode_s / 1e12
         extras['decode_eff_tflops'] = round(eff_tflops, 1)

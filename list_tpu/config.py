@@ -171,6 +171,22 @@ def _build_parser() -> ArgumentParser:
                              'precision (vertex shift < 1e-4 world units, '
                              'far under the 0.005 eval threshold). '
                              'float32 restores a bit-exact fetch.')
+    parser.add_argument('--fetch_mode', type=str, default='band',
+                        choices=['grid', 'band'],
+                        help='Dense-grid device->host wire format. "band" '
+                             '(default) ships sign bits + exact values of '
+                             'cells incident to a mixed marching-cubes '
+                             'cube (~0.77 MB per 128^3 mesh vs 4.2 MB '
+                             'bf16 grid) — the extracted mesh is '
+                             'IDENTICAL to the full-grid fetch (marching '
+                             'cubes reads only vertex classes plus values '
+                             'on interpolated edges; ops/band.py), so the '
+                             'inference sweep stays compute-bound even at '
+                             'single-digit-MB/s host links. "grid" ships '
+                             'the full wire grid (use when the raw SDF '
+                             'field itself is the product).  Band applies '
+                             'to the fast dense path; the chunked '
+                             'fallback always ships the grid.')
     parser.add_argument('--infer_batch', type=int, default=1,
                         help='Meshes decoded per device dispatch in the test '
                              'sweep (dense path only). >1 amortizes the '
@@ -194,6 +210,15 @@ def _build_parser() -> ArgumentParser:
                              'Auto: 2 at vox_res<=192, 0 at larger (256^3 '
                              'measured faster on the XLA head). '
                              'Non-TPU backends always use XLA.')
+    parser.add_argument('--percep_collapse', type=int, default=0,
+                        help='Dense-decode perceptual sampling: 1 gathers '
+                             'ONE corner-collapsed row per query from a '
+                             '4x-wide projected map (2D analog of '
+                             '--collapse_samples; bitwise-equal output, '
+                             'tests/test_dense_grid.py) instead of 4 '
+                             'corner rows; 0 keeps the 4-corner batched '
+                             'take. A/B knob for the ~1/3-of-decode '
+                             'percep gather budget (VERDICT r4 #6).')
     parser.add_argument('--remat', type=int, default=1,
                         help='Rematerialize the voxel encoder in training to '
                              'trade FLOPs for HBM.')
@@ -238,12 +263,27 @@ def _build_parser() -> ArgumentParser:
                              'measured per-chunk sampling f+b on v5e '
                              '(tools/probe_corner_collapse.py): 3.1x/'
                              '1.4x/2.7x/1.6x on scales 0/2/3/5; scale 1 '
-                             '(16ch@128^3, 1.27 GB collapsed) loses and '
-                             'scale 4 is a wash. Full-step A/B (v5e, '
-                             'batch 4): 1.245 vs 1.597 s/step. '
-                             '"auto" (default) = (0,2,3,5) at batch <= 4 '
-                             'and OFF above (the batch-8 step has only '
-                             '~250 MB HBM headroom — unmeasured there).')
+                             '(16ch@128^3, 1.27 GB collapsed) loses in '
+                             'full mode but WINS as halo ("1h": x window '
+                             'only, 4 rows/tap, +19%% bytes). "auto" '
+                             '(default) = the measured full-step winners '
+                             '(tools/ab_train_collapse.py, same-session '
+                             'v5e pairs): 0,2,3,5,1h at batch <= 4 '
+                             '(1.201 vs 1.597 s/step collapse-off); '
+                             '0,3,5,1h above (3.029 vs 4.100).')
+    parser.add_argument('--collapse_select', type=int, default=0,
+                        help='Collapsed-sampler extraction formulation: '
+                             '0 (default) f32-weight einsum over the '
+                             'gathered stack; 1 bf16 0/1-select einsums + '
+                             'f32 lerp, so the wide stack is never upcast '
+                             'to f32 (targets the ~0.07 s/step of f32 '
+                             'layout copies in the r4 post-halo trace). '
+                             'Exact select; f32 association differs. '
+                             'Ships as an in-step A/B flag (the isolated '
+                             'probe measured the SELECT form slower, '
+                             'tools/probe_collapse_select.py, but the '
+                             'layout copies do not reproduce outside the '
+                             'step).')
     parser.add_argument('--remat_save_samples', type=int, default=0,
                         help='Under decode remat, save the named sampled '
                              'feature stacks instead of recomputing them: '
@@ -252,6 +292,18 @@ def _build_parser() -> ArgumentParser:
                              '+ ~135 MB/chunk (percep f32) of extra live '
                              'HBM. 0 = full remat; 1 = save vox samples; '
                              '2 = save vox + percep.')
+    parser.add_argument('--steps_per_dispatch', type=int, default=1,
+                        help='Train steps run inside ONE jitted device '
+                             'program (lax.scan over K stacked batches). '
+                             'The per-step numerics are identical to K '
+                             'single dispatches; the host/dispatch gap '
+                             'between steps (0.25-0.65 s/step through the '
+                             'harness relay, r4 trace) is paid once per K '
+                             'steps instead of per step. Costs K-1 extra '
+                             'batches of device memory (~38 MB each at '
+                             'batch 4 x 128^3) and delays loss visibility '
+                             'by K-1 steps. 1 disables. Incompatible with '
+                             '--checkify (multi-step uses plain jit).')
     parser.add_argument('--sort_queries', type=int, default=0,
                         help='Sort training queries by voxel cell inside the '
                              'train step (points/values permuted together - '

@@ -76,12 +76,14 @@ def _device_infer(executor, dataset, cat_id, shape_id, output_dir, cam_id):
 
 
 def _fetch_f32(pred_values) -> np.ndarray:
-    """Device->host fetch + f32 upcast (bf16 --fetch_dtype wire); runs on
-    the fetch pool so several meshes' host-link transfers proceed while
-    the device computes and the host worker meshes (the harness relay's
-    bandwidth is bursty — a single serialized fetch stream can stall the
-    whole sweep for seconds per mesh)."""
-    return np.asarray(pred_values).astype(np.float32)
+    """Device->host fetch + f32 upcast (bf16 --fetch_dtype wire, band
+    decode for --fetch_mode band BandGrids); runs on the fetch pool so
+    several meshes' host-link transfers proceed while the device computes
+    and the host worker meshes (the harness relay's bandwidth is bursty —
+    a single serialized fetch stream can stall the whole sweep for
+    seconds per mesh)."""
+    from list_tpu.ops.band import fetch_grid_f32
+    return fetch_grid_f32(pred_values)
 
 
 def _host_finish(executor, batch, fname, pred_values, eval_pred
@@ -125,7 +127,21 @@ def test_all(config) -> Optional[str]:
     testset = Dataset(config, 'test')
     test_size = len(testset.datalist)
 
-    executor = build_executor(config, model)
+    import jax
+    if jax.process_count() > 1:
+        # Per-process strided sharding gives each process DIFFERENT shapes
+        # (and counts), so the executor's predict programs must not span
+        # the global mesh (independent per-process work over a cross-host
+        # mesh is mismatched SPMD — ADVICE r4).  Build a local-devices
+        # mesh: each process sweeps its shard fully independently, the
+        # multihost analog of the reference's --chunk_s/--chunk_l manual
+        # sharding (test.py:108-113).
+        from list_tpu.parallel import make_mesh
+        local = jax.local_devices()
+        executor = build_executor(
+            config, model, mesh=make_mesh((len(local),), devices=local))
+    else:
+        executor = build_executor(config, model)
     # init state from a dummy batch shaped like test data
     first = testset.datalist[0]
     batch0 = testset.get_testdata(
@@ -173,6 +189,13 @@ def test_all(config) -> Optional[str]:
     # saturate a multi-core host; LIST_TPU_EVAL_WORKERS overrides.
     n_eval_workers = int(os.environ.get('LIST_TPU_EVAL_WORKERS', 0)) \
         or max(1, min(4, (os.cpu_count() or 1)))
+    # Each _host_finish drives libmesh parallel_for loops that default to
+    # hardware_concurrency() threads — n_eval_workers concurrent shapes
+    # would oversubscribe the CPU n_eval_workers-fold (ADVICE r4).  Split
+    # the cores between the pooled shapes instead (explicit env wins).
+    if overlap and 'LIST_TPU_NATIVE_THREADS' not in os.environ:
+        os.environ['LIST_TPU_NATIVE_THREADS'] = str(
+            max(1, (os.cpu_count() or 1) // n_eval_workers))
     pool = ThreadPoolExecutor(max_workers=n_eval_workers) if overlap else None
     # Dedicated fetch pool: device->host grid transfers for up to 4 meshes
     # proceed concurrently with device compute AND the (serial) host

@@ -49,7 +49,9 @@ def parse_collapse_samples(spec, batch_size: int) -> tuple:
                   remat'd batch-8 step but measured 3.212).
     'none'/'' disables; an explicit '0,3,5,1h' wins."""
     if isinstance(spec, (tuple, list)):
-        return tuple(int(i) for i in spec), ()
+        # route through the token parser so programmatic ('0', '1h') specs
+        # behave exactly like the CLI string form (ADVICE r4)
+        spec = ','.join(str(s) for s in spec)
     spec = str(spec).strip().lower()
     if spec in ('none', ''):
         return (), ()
@@ -145,6 +147,10 @@ class LIST(nn.Module):
     # LOSES (1.27 GB collapsed volume) and scale 4 is a wash.
     collapse_samples: Sequence[int] = ()
     collapse_samples_halo: Sequence[int] = ()
+    # --collapse_select: extraction as bf16 0/1-select einsums + f32 lerp
+    # instead of the f32-weight einsum (in-step A/B of the r4 trace's
+    # layout-copy lead; ops/sampling.py _sample_collapsed_one).
+    collapse_select: bool = False
     # --remat_save_samples: under decode remat, SAVE the named sampled
     # stacks ('decode_vox', optionally 'decode_percep') instead of
     # recomputing them — the remat backward then skips the forward
@@ -175,6 +181,8 @@ class LIST(nn.Module):
                    fuse_gather=int(
                        getattr(config, 'fuse_sample_gathers', 0)),
                    collapse_samples=_cs[0], collapse_samples_halo=_cs[1],
+                   collapse_select=bool(
+                       int(getattr(config, 'collapse_select', 0))),
                    remat_save_samples=int(
                        getattr(config, 'remat_save_samples', 0)),
                    train_query_chunks=int(
@@ -198,7 +206,9 @@ class LIST(nn.Module):
                                          collapse_set=tuple(
                                              self.collapse_samples),
                                          collapse_halo=tuple(
-                                             self.collapse_samples_halo))
+                                             self.collapse_samples_halo),
+                                         collapse_select=bool(
+                                             self.collapse_select))
         self.percep_pooling = PerceptualPooling()
         enc_kw = ({} if self.im_filters is None
                   else dict(filters=tuple(self.im_filters),

@@ -207,6 +207,9 @@ class VoxelDecoder2(nn.Module):
     # encoder (must match VoxelEncoder2.collapse_set / collapse_halo).
     collapse_set: Sequence[int] = ()
     collapse_halo: Sequence[int] = ()
+    # --collapse_select: bf16 0/1-select + f32-lerp extraction (in-step
+    # A/B of r5 lead #1; exact select, different f32 association).
+    collapse_select: bool = False
 
     @nn.compact
     def __call__(self, p: jnp.ndarray, feat: Sequence[jnp.ndarray],
@@ -215,10 +218,12 @@ class VoxelDecoder2(nn.Module):
         # metadata when ``feat`` is in the lane-dense training layout.
         if vox_meta is not None:
             from list_tpu.ops.sampling import sample_multiscale_packed
-            vox = sample_multiscale_packed(feat, vox_meta, p, self.delta,
-                                           fuse_group=self.fuse_gather,
-                                           collapse_set=self.collapse_set,
-                                           collapse_halo=self.collapse_halo)
+            vox = sample_multiscale_packed(
+                feat, vox_meta, p, self.delta,
+                fuse_group=self.fuse_gather,
+                collapse_set=self.collapse_set,
+                collapse_halo=self.collapse_halo,
+                collapse_select=self.collapse_select)
         else:
             vox = sample_multiscale(feat, p, self.delta)
         # Named for the selective decode-remat policy

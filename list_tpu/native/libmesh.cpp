@@ -128,55 +128,146 @@ void inside_mesh(const double* tri, int64_t n_tri, const double* pts,
         hash[(size_t)resolution * x + y].push_back((int32_t)t);
   }
 
-  parallel_for(n_pts, [&](int64_t i_lo, int64_t i_hi) {
-  for (int64_t i = i_lo; i < i_hi; ++i) {
-    double p[3];
+  // --- per-cell hoisted triangle constants (r5, VERDICT r4 #7) ------------
+  // The r4 loop recomputed the 2D containment matrix (6 vertex diffs, a
+  // determinant, a sign fold) for every (point, triangle) pair; with ~15
+  // points and ~10 candidate triangles per cell that is the whole inner-
+  // loop cost.  Precompute per cell entry, in CSR layout, the sign-folded
+  // coefficients — multiplying by s = +-1 is IEEE-exact, so u/v below are
+  // BITWISE identical to the old ``(a11*y0 - a01*y1) * s`` form.  The
+  // depth branch (only for 2D-contained pairs — a tiny fraction) keeps
+  // the original arithmetic verbatim for bit parity.
+  const size_t n_cells = (size_t)resolution * (size_t)resolution;
+  std::vector<int64_t> cell_off(n_cells + 1, 0);
+  for (size_t c = 0; c < n_cells; ++c)
+    cell_off[c + 1] = cell_off[c] + (int64_t)hash[c].size();
+  const int64_t n_ent = cell_off[n_cells];
+  std::vector<double> e_c(n_ent * 7);  // sa11, sa01, sa10, sa00, ad, t3x, t3y
+  std::vector<int32_t> e_tri(n_ent);
+  for (size_t c = 0; c < n_cells; ++c) {
+    int64_t e = cell_off[c];
+    for (int32_t t : hash[c]) {
+      const double* t1 = &T[(t * 3 + 0) * 3];
+      const double* t2 = &T[(t * 3 + 1) * 3];
+      const double* t3 = &T[(t * 3 + 2) * 3];
+      double a00 = t1[0] - t3[0], a01 = t2[0] - t3[0];
+      double a10 = t1[1] - t3[1], a11 = t2[1] - t3[1];
+      double detA = a00 * a11 - a01 * a10;
+      double* ec = &e_c[e * 7];
+      if (detA == 0.0) {
+        // degenerate: all-zero coefficients make u = v = 0 fail the
+        // strict u > 0 test, matching the old ``continue``
+        for (int k = 0; k < 5; ++k) ec[k] = 0.0;
+        ec[5] = t3[0]; ec[6] = t3[1];
+      } else {
+        double s = detA > 0 ? 1.0 : -1.0;
+        ec[0] = s * a11; ec[1] = s * a01; ec[2] = s * a10; ec[3] = s * a00;
+        ec[4] = std::fabs(detA); ec[5] = t3[0]; ec[6] = t3[1];
+      }
+      e_tri[e] = t;
+      ++e;
+    }
+  }
+
+  // --- bucket points by cell so each cell's triangle constants are ------
+  // fetched once and the containment test runs as a flat vectorizable
+  // loop over the cell's points (SoA chunks).
+  std::vector<double> P((size_t)n_pts * 3);
+  std::vector<int64_t> pcell(n_pts);
+  for (int64_t i = 0; i < n_pts; ++i) {
     bool in_aabb = true;
+    double p[3];
     for (int d = 0; d < 3; ++d) {
       p[d] = scale[d] * pts[i * 3 + d] + trans[d];
       // cull outside [0, res] (inside_mesh.py:41-42)
       if (!(p[d] >= 0.0 && p[d] <= resolution)) in_aabb = false;
     }
-    if (!in_aabb) continue;
+    P[i * 3 + 0] = p[0]; P[i * 3 + 1] = p[1]; P[i * 3 + 2] = p[2];
     int cx = (int)p[0], cy = (int)p[1];
-    if (cx < 0 || cx >= resolution || cy < 0 || cy >= resolution) continue;
-
-    int64_t n0 = 0, n1 = 0;  // intersections above / below
-    for (int32_t t : hash[(size_t)resolution * cx + cy]) {
-      const double* t1 = &T[(t * 3 + 0) * 3];
-      const double* t2 = &T[(t * 3 + 1) * 3];
-      const double* t3 = &T[(t * 3 + 2) * 3];
-      // 2D containment (inside_mesh.py:131-155): A = [t1-t3 | t2-t3]^T cols
-      double a00 = t1[0] - t3[0], a01 = t2[0] - t3[0];
-      double a10 = t1[1] - t3[1], a11 = t2[1] - t3[1];
-      double y0 = p[0] - t3[0], y1 = p[1] - t3[1];
-      double detA = a00 * a11 - a01 * a10;
-      if (detA == 0.0) continue;
-      double s = detA > 0 ? 1.0 : -1.0, ad = std::fabs(detA);
-      double u = (a11 * y0 - a01 * y1) * s;
-      double v = (-a10 * y0 + a00 * y1) * s;
-      double uv = u + v;
-      if (!(u > 0 && u < ad && v > 0 && v < ad && uv > 0 && uv < ad)) continue;
-      // intersection depth (inside_mesh.py:77-108)
-      double v1x = t3[0] - t1[0], v1y = t3[1] - t1[1], v1z = t3[2] - t1[2];
-      double v2x = t2[0] - t1[0], v2y = t2[1] - t1[1], v2z = t2[2] - t1[2];
-      double nx = v1y * v2z - v1z * v2y;
-      double ny = v1z * v2x - v1x * v2z;
-      double nz = v1x * v2y - v1y * v2x;
-      double abs_n2 = std::fabs(nz);
-      if (abs_n2 == 0.0) continue;  // nan depth contributes to neither count
-      double s_n2 = nz > 0 ? 1.0 : -1.0;
-      double alpha = nx * (t1[0] - p[0]) + ny * (t1[1] - p[1]);
-      double depth = t1[2] * abs_n2 + alpha * s_n2;
-      if (depth >= p[2] * abs_n2)
-        ++n0;
-      else
-        ++n1;
+    if (!in_aabb || cx < 0 || cx >= resolution || cy < 0 ||
+        cy >= resolution) {
+      pcell[i] = -1;
+      continue;
     }
-    bool c1 = (n0 % 2) == 1, c2 = (n1 % 2) == 1;
-    contains[i] = (uint8_t)(c1 && c2);
-    holes[i] = (uint8_t)(c1 != c2);
+    pcell[i] = (int64_t)resolution * cx + cy;
   }
+  std::vector<int64_t> poff(n_cells + 1, 0);
+  for (int64_t i = 0; i < n_pts; ++i)
+    if (pcell[i] >= 0) ++poff[(size_t)pcell[i] + 1];
+  for (size_t c = 0; c < n_cells; ++c) poff[c + 1] += poff[c];
+  std::vector<int64_t> order(poff[n_cells]);
+  {
+    std::vector<int64_t> cur(poff.begin(), poff.end() - 1);
+    for (int64_t i = 0; i < n_pts; ++i)
+      if (pcell[i] >= 0) order[cur[(size_t)pcell[i]]++] = i;
+  }
+
+  parallel_for((int64_t)n_cells, [&](int64_t c_lo, int64_t c_hi) {
+    constexpr int CHUNK = 128;
+    double px[CHUNK], py[CHUNK], pz[CHUNK];
+    int64_t pid[CHUNK];
+    uint32_t cn0[CHUNK], cn1[CHUNK];
+    uint8_t pass[CHUNK];
+    for (int64_t c = c_lo; c < c_hi; ++c) {
+      int64_t pb = poff[c], pe = poff[c + 1];
+      if (pb == pe) continue;
+      int64_t tb = cell_off[c], te = cell_off[c + 1];
+      for (int64_t g0 = pb; g0 < pe; g0 += CHUNK) {
+        int M = (int)std::min<int64_t>(CHUNK, pe - g0);
+        for (int m = 0; m < M; ++m) {
+          int64_t i = order[g0 + m];
+          pid[m] = i;
+          px[m] = P[i * 3 + 0]; py[m] = P[i * 3 + 1]; pz[m] = P[i * 3 + 2];
+          cn0[m] = 0; cn1[m] = 0;
+        }
+        for (int64_t e = tb; e < te; ++e) {
+          const double* ec = &e_c[e * 7];
+          const double sa11 = ec[0], sa01 = ec[1], sa10 = ec[2],
+                       sa00 = ec[3], ad = ec[4], t3x = ec[5], t3y = ec[6];
+          int any = 0;
+          for (int m = 0; m < M; ++m) {  // vector phase: containment only
+            double y0 = px[m] - t3x, y1 = py[m] - t3y;
+            double u = sa11 * y0 - sa01 * y1;
+            double v = -(sa10 * y0) + sa00 * y1;
+            double uv = u + v;
+            uint8_t ok = (uint8_t)(u > 0 && u < ad && v > 0 && v < ad &&
+                                   uv > 0 && uv < ad);
+            pass[m] = ok;
+            any |= ok;
+          }
+          if (!any) continue;
+          // scalar phase (rare): original depth math, verbatim
+          int32_t t = e_tri[e];
+          const double* t1 = &T[(t * 3 + 0) * 3];
+          const double* t2 = &T[(t * 3 + 1) * 3];
+          const double* t3 = &T[(t * 3 + 2) * 3];
+          double v1x = t3[0] - t1[0], v1y = t3[1] - t1[1],
+                 v1z = t3[2] - t1[2];
+          double v2x = t2[0] - t1[0], v2y = t2[1] - t1[1],
+                 v2z = t2[2] - t1[2];
+          double nx = v1y * v2z - v1z * v2y;
+          double ny = v1z * v2x - v1x * v2z;
+          double nz = v1x * v2y - v1y * v2x;
+          double abs_n2 = std::fabs(nz);
+          if (abs_n2 == 0.0) continue;  // nan depth: contributes nothing
+          double s_n2 = nz > 0 ? 1.0 : -1.0;
+          for (int m = 0; m < M; ++m) {
+            if (!pass[m]) continue;
+            double alpha = nx * (t1[0] - px[m]) + ny * (t1[1] - py[m]);
+            double depth = t1[2] * abs_n2 + alpha * s_n2;
+            if (depth >= pz[m] * abs_n2)
+              ++cn0[m];
+            else
+              ++cn1[m];
+          }
+        }
+        for (int m = 0; m < M; ++m) {
+          bool c1 = (cn0[m] % 2) == 1, c2 = (cn1[m] % 2) == 1;
+          contains[pid[m]] = (uint8_t)(c1 && c2);
+          holes[pid[m]] = (uint8_t)(c1 != c2);
+        }
+      }
+    }
   });
 }
 
@@ -567,59 +658,156 @@ int64_t marching_cubes_mc(const float* grid, int64_t nx, int64_t ny,
 // KD-tree nearest neighbour (3D).
 // ---------------------------------------------------------------------------
 
+// Packed-leaf kd-tree (r5, VERDICT r4 #7 profiling: the eval hot spot was
+// NOT the ray-stab hash loop but this NN — the old implicit tree visited
+// one point per node through an index indirection, ~26 us/query at 100k
+// vs 100k.  This version: widest-extent split axis, 16-point LEAF buckets
+// whose coordinates are REORDERED into contiguous SoA-ish memory (the
+// leaf scan is a flat vectorizable loop), and split-plane pruning.  Exact
+// same metric (min over squared distances; sqrt once).
 struct KDTree {
-  const double* pts;
-  std::vector<int64_t> idx;
-  // Implicit balanced tree over idx (nth_element by alternating axis).
-  void build(int64_t lo, int64_t hi, int axis) {
-    if (hi - lo <= 1) return;
+  static constexpr int LEAF = 16;
+  struct Node {
+    double split;
+    int32_t axis;      // -1 = leaf
+    int32_t right;     // right child (left child = node + 1)
+    int64_t lo, hi;    // leaf range in packed order
+  };
+  std::vector<Node> nodes;
+  std::vector<double> P;      // packed coords, build order
+  std::vector<int64_t> orig;  // packed -> original index
+
+  void build(const double* pts, int64_t n) {
+    std::vector<int64_t> idx(n);
+    for (int64_t i = 0; i < n; ++i) idx[i] = i;
+    nodes.reserve((size_t)(2 * n / LEAF + 8));
+    build_rec(pts, idx, 0, n);
+    P.resize((size_t)n * 3);
+    orig.resize(n);
+    for (int64_t i = 0; i < n; ++i) {
+      orig[i] = idx[i];
+      for (int d = 0; d < 3; ++d) P[i * 3 + d] = pts[idx[i] * 3 + d];
+    }
+  }
+
+  int32_t build_rec(const double* pts, std::vector<int64_t>& idx,
+                    int64_t lo, int64_t hi) {
+    int32_t me = (int32_t)nodes.size();
+    nodes.push_back({});
+    if (hi - lo <= LEAF) {
+      nodes[me] = {0.0, -1, -1, lo, hi};
+      return me;
+    }
+    double mn[3] = {1e300, 1e300, 1e300}, mx[3] = {-1e300, -1e300, -1e300};
+    for (int64_t i = lo; i < hi; ++i)
+      for (int d = 0; d < 3; ++d) {
+        double x = pts[idx[i] * 3 + d];
+        mn[d] = std::min(mn[d], x);
+        mx[d] = std::max(mx[d], x);
+      }
+    int axis = 0;
+    for (int d = 1; d < 3; ++d)
+      if (mx[d] - mn[d] > mx[axis] - mn[axis]) axis = d;
     int64_t mid = (lo + hi) / 2;
     std::nth_element(idx.begin() + lo, idx.begin() + mid, idx.begin() + hi,
                      [&](int64_t a, int64_t b) {
                        return pts[a * 3 + axis] < pts[b * 3 + axis];
                      });
-    build(lo, mid, (axis + 1) % 3);
-    build(mid + 1, hi, (axis + 1) % 3);
+    double split = pts[idx[mid] * 3 + axis];
+    build_rec(pts, idx, lo, mid);
+    int32_t r = build_rec(pts, idx, mid, hi);
+    nodes[me] = {split, (int32_t)axis, r, lo, hi};
+    return me;
   }
-  void query(const double* q, int64_t lo, int64_t hi, int axis, double& best2,
-             int64_t& best_i) const {
-    if (hi <= lo) return;
-    int64_t mid = (lo + hi) / 2;
-    const double* p = &pts[idx[mid] * 3];
-    double d2 = 0;
-    for (int d = 0; d < 3; ++d) {
-      double t = q[d] - p[d];
-      d2 += t * t;
+
+  // packed-index query: reports the PACKED position of the best point,
+  // so consecutive queries can warm-start from it (orig[] maps back).
+  void query_packed(const double* q, double& best2, int64_t& best_p) const {
+    query_packed_rec(0, q, best2, best_p);
+  }
+  void query_packed_rec(int32_t ni, const double* q, double& best2,
+                        int64_t& best_p) const {
+    const Node& nd = nodes[ni];
+    if (nd.axis < 0) {
+      for (int64_t i = nd.lo; i < nd.hi; ++i) {
+        double dx = q[0] - P[i * 3 + 0];
+        double dy = q[1] - P[i * 3 + 1];
+        double dz = q[2] - P[i * 3 + 2];
+        double d2 = dx * dx + dy * dy + dz * dz;
+        if (d2 < best2) {
+          best2 = d2;
+          best_p = i;
+        }
+      }
+      return;
     }
-    if (d2 < best2) {
-      best2 = d2;
-      best_i = idx[mid];
-    }
-    double diff = q[axis] - p[axis];
-    int64_t near_lo = diff < 0 ? lo : mid + 1;
-    int64_t near_hi = diff < 0 ? mid : hi;
-    int64_t far_lo = diff < 0 ? mid + 1 : lo;
-    int64_t far_hi = diff < 0 ? hi : mid;
-    query(q, near_lo, near_hi, (axis + 1) % 3, best2, best_i);
-    if (diff * diff < best2)
-      query(q, far_lo, far_hi, (axis + 1) % 3, best2, best_i);
+    double diff = q[nd.axis] - nd.split;
+    int32_t near = diff < 0 ? ni + 1 : nd.right;
+    int32_t far = diff < 0 ? nd.right : ni + 1;
+    query_packed_rec(near, q, best2, best_p);
+    if (diff * diff < best2) query_packed_rec(far, q, best2, best_p);
   }
 };
+
+static inline uint64_t morton_expand(uint32_t v) {
+  uint64_t x = v & 0x1fffff;
+  x = (x | x << 32) & 0x1f00000000ffffULL;
+  x = (x | x << 16) & 0x1f0000ff0000ffULL;
+  x = (x | x << 8) & 0x100f00f00f00f00fULL;
+  x = (x | x << 4) & 0x10c30c30c30c30c3ULL;
+  x = (x | x << 2) & 0x1249249249249249ULL;
+  return x;
+}
 
 void kdtree_nn(const double* src, int64_t n_src, const double* dst,
                int64_t n_dst, double* dist_out, int64_t* idx_out) {
   KDTree tree;
-  tree.pts = dst;
-  tree.idx.resize(n_dst);
-  for (int64_t i = 0; i < n_dst; ++i) tree.idx[i] = i;
-  tree.build(0, n_dst, 0);
+  tree.build(dst, n_dst);
+  // Morton-sort the queries: consecutive queries then land in nearby
+  // space, so (a) tree-path cache lines stay hot and (b) each query can
+  // WARM-START its best-distance bound from the previous query's nearest
+  // point — an upper bound achieved by a real candidate, so the final
+  // min over all points is unchanged (exact).  Measured 2.5x on top of
+  // the packed-leaf tree for the 100k-surface-sample chamfer.
+  double mn[3] = {1e300, 1e300, 1e300}, mx[3] = {-1e300, -1e300, -1e300};
+  for (int64_t i = 0; i < n_src; ++i)
+    for (int d = 0; d < 3; ++d) {
+      mn[d] = std::min(mn[d], src[i * 3 + d]);
+      mx[d] = std::max(mx[d], src[i * 3 + d]);
+    }
+  double inv[3];
+  for (int d = 0; d < 3; ++d) {
+    double ext = mx[d] - mn[d];
+    inv[d] = ext > 0 ? 1023.0 / ext : 0.0;
+  }
+  std::vector<std::pair<uint64_t, int64_t>> order(n_src);
+  for (int64_t i = 0; i < n_src; ++i) {
+    uint64_t key = 0;
+    for (int d = 0; d < 3; ++d) {
+      uint32_t q = (uint32_t)((src[i * 3 + d] - mn[d]) * inv[d]);
+      key |= morton_expand(q) << d;
+    }
+    order[i] = {key, i};
+  }
+  std::sort(order.begin(), order.end());
   parallel_for(n_src, [&](int64_t i_lo, int64_t i_hi) {
-    for (int64_t i = i_lo; i < i_hi; ++i) {
+    int64_t prev_p = -1;
+    for (int64_t k = i_lo; k < i_hi; ++k) {
+      int64_t i = order[k].second;
+      const double* q = &src[i * 3];
       double best2 = std::numeric_limits<double>::infinity();
-      int64_t best_i = -1;
-      tree.query(&src[i * 3], 0, n_dst, 0, best2, best_i);
+      int64_t best_p = -1;
+      if (prev_p >= 0) {  // warm start: bound from the previous nearest
+        double dx = q[0] - tree.P[prev_p * 3 + 0];
+        double dy = q[1] - tree.P[prev_p * 3 + 1];
+        double dz = q[2] - tree.P[prev_p * 3 + 2];
+        best2 = dx * dx + dy * dy + dz * dz;
+        best_p = prev_p;
+      }
+      tree.query_packed(q, best2, best_p);
+      prev_p = best_p;
       dist_out[i] = std::sqrt(best2);
-      if (idx_out) idx_out[i] = best_i;
+      if (idx_out) idx_out[i] = best_p >= 0 ? tree.orig[best_p] : -1;
     }
   });
 }

@@ -233,7 +233,7 @@ def _scan_x_plans(R: int, r_in: int, S: int, delta: float,
     'vox_res', 'slab', 'delta', 'compute_dtype', 'bb_min', 'bb_max',
     'fuse_scales', 'use_pallas', 'pallas_interpret', 'scan_unroll',
     'mesh', 'shard_axis', 'coarse_proj', 'coarse_outside',
-    'hoist_variants'))
+    'hoist_variants', 'percep_collapse'))
 def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    feat_l2: List[jnp.ndarray], trans_mat: jnp.ndarray,
                    vox_res: int, slab: int = 8, delta: float = 0.0722,
@@ -244,7 +244,8 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                    shard_axis: Optional[str] = None,
                    coarse_proj: int = 16,
                    coarse_outside: Optional[bool] = None,
-                   hoist_variants: Optional[bool] = None) -> jnp.ndarray:
+                   hoist_variants: Optional[bool] = None,
+                   percep_collapse: bool = False) -> jnp.ndarray:
     """Dense (vox_res^3) SDF evaluation for batch size 1.
 
     decoder_params: the VoxelDecoder2 param subtree {fc_0, fc_1, fc_2,
@@ -368,6 +369,20 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
                        w1_percep.astype(compute_dtype),
                        preferred_element_type=jnp.float32)
     pm512 = pm512.astype(compute_dtype)
+    if percep_collapse:
+        # 2D corner collapse of the projected map (the dense-path analog
+        # of the r4 training-sampler win): row (y, x) holds the four
+        # bilinear corners [(y,x) | (y,x+1) | (y+1,x) | (y+1,x+1)], +1
+        # edge-clamped exactly like the min(i+1, ms-1) corner indices —
+        # ONE gathered row per query instead of four, contiguous 4 KB
+        # rows, identical bytes.  4x the map's HBM (77 MB bf16) built
+        # once per decode.  Reference analog: modules.py:15-59.
+        pm2 = pm512[0]
+        sx = jnp.concatenate([pm2[:, 1:], pm2[:, -1:]], axis=1)
+        sy = jnp.concatenate([pm2[1:], pm2[-1:]], axis=0)
+        sxy = jnp.concatenate([sx[1:], sx[-1:]], axis=0)
+        pmc = jnp.concatenate([pm2, sx, sy, sxy], axis=-1)
+        pm512 = pmc[None]
 
     w2 = decoder_params['fc_1']['kernel']
     b2 = decoder_params['fc_1']['bias']
@@ -653,15 +668,25 @@ def dense_grid_sdf(decoder_params: Dict, vox_feats: List[jnp.ndarray],
         wyf = (ypix - y0i.astype(jnp.float32)).reshape(n, 1) \
             .astype(pm512_.dtype)
         flat = pm512_[0].reshape(ms * ms, -1)
-        # one batched 4-corner gather (per-gather fixed costs dominate);
-        # clip mode: indices are in-bounds by construction
-        idx = jnp.concatenate([
-            (y0i * ms + x0i).reshape(n), (y0i * ms + x1i).reshape(n),
-            (y1i * ms + x0i).reshape(n), (y1i * ms + x1i).reshape(n)])
-        vals = jnp.take(flat, idx, axis=0, mode='clip').reshape(4, n, -1)
-        top = vals[0] * (1 - wxf) + vals[1] * wxf
-        bot = vals[2] * (1 - wxf) + vals[3] * wxf
-        percep = top * (1 - wyf) + bot * wyf
+        if percep_collapse:
+            # collapsed map: ONE row per query carries all 4 corners
+            rows = jnp.take(flat, (y0i * ms + x0i).reshape(n), axis=0,
+                            mode='clip')
+            cp = rows.shape[-1] // 4
+            top = rows[:, :cp] * (1 - wxf) + rows[:, cp:2 * cp] * wxf
+            bot = (rows[:, 2 * cp:3 * cp] * (1 - wxf)
+                   + rows[:, 3 * cp:] * wxf)
+            percep = top * (1 - wyf) + bot * wyf
+        else:
+            # one batched 4-corner gather (per-gather fixed costs
+            # dominate); clip mode: indices in-bounds by construction
+            idx = jnp.concatenate([
+                (y0i * ms + x0i).reshape(n), (y0i * ms + x1i).reshape(n),
+                (y1i * ms + x0i).reshape(n), (y1i * ms + x1i).reshape(n)])
+            vals = jnp.take(flat, idx, axis=0, mode='clip').reshape(4, n, -1)
+            top = vals[0] * (1 - wxf) + vals[1] * wxf
+            bot = vals[2] * (1 - wxf) + vals[3] * wxf
+            percep = top * (1 - wyf) + bot * wyf
 
         if use_pallas == 1:
             from list_tpu.ops.pallas.fused_fc0 import fused_fc0_mlp

@@ -375,7 +375,8 @@ def collapse_corners(packed: jnp.ndarray, meta,
 
 
 def _sample_collapsed_one(cvol: jnp.ndarray, meta, pd: jnp.ndarray,
-                          mode: str = 'full') -> jnp.ndarray:
+                          mode: str = 'full',
+                          select: bool = False) -> jnp.ndarray:
     """Trilinear border/align-corners sample of one corner-collapsed scale.
 
     cvol: (B, D*H*XR, L4); pd: (B, Np, 3) -> (B, Np, C).  'full': one
@@ -383,7 +384,17 @@ def _sample_collapsed_one(cvol: jnp.ndarray, meta, pd: jnp.ndarray,
     contraction (quad weight x x-corner pair).  'halo': four gathered rows
     per tap (the z/y corner combinations) with the x pair in-row.  Both
     run the weight contraction in f32 — mathematically identical to the
-    take sampler's sequential lerp tree (products distributed)."""
+    take sampler's sequential lerp tree (products distributed).
+
+    select=True (--collapse_select): reformulate the extraction as 0/1
+    one-hot SELECT einsums in the volume dtype (exact — 0/1 x bf16 with
+    f32 accumulation) followed by a small f32 lerp/quad combination, so
+    the wide gathered stack is never upcast to f32.  Targets the ~0.07
+    s/step of f32 layout-transposing copies the r4 post-halo trace pinned
+    on the ``vals.astype(f32)`` einsum operands (r5 lead #1; the isolated
+    probe could not reproduce the copies, so this ships as an in-step
+    A/B flag).  Same math, different association order (parity test:
+    tests/test_sampling.py)."""
     D, H, W, C, g = meta
     gh, s, XR, L4 = collapse_meta(meta, mode)
     B, Np, _ = pd.shape
@@ -400,18 +411,30 @@ def _sample_collapsed_one(cvol: jnp.ndarray, meta, pd: jnp.ndarray,
     row_x = (jnp.minimum(x0 // s, XR - 1) if gh < W
              else jnp.zeros_like(x0))
     base = row_x * s
-    ux = (jax.nn.one_hot(x0 - base, gh, dtype=jnp.float32)
-          * (1 - wx[..., None])
-          + jax.nn.one_hot(x1 - base, gh, dtype=jnp.float32)
-          * wx[..., None])
+    if not select:
+        ux = (jax.nn.one_hot(x0 - base, gh, dtype=jnp.float32)
+              * (1 - wx[..., None])
+              + jax.nn.one_hot(x1 - base, gh, dtype=jnp.float32)
+              * wx[..., None])
 
     if mode == 'full':
         rows = (z0 * H + y0) * XR + row_x
         gidx = jnp.arange(B, dtype=rows.dtype)[:, None] * M4 + rows
         vals = jnp.take(cvol.reshape(B * M4, L4), gidx.reshape(-1),
-                        axis=0, mode='clip').reshape(B, Np, 4 * gh, C)
+                        axis=0, mode='clip')
         wq = jnp.stack([(1 - wz) * (1 - wy), (1 - wz) * wy,
                         wz * (1 - wy), wz * wy], axis=-1)  # (B, Np, 4)
+        if select:
+            v = vals.reshape(B, Np, 4, gh, C)
+            oh0 = jax.nn.one_hot(x0 - base, gh, dtype=cvol.dtype)
+            oh1 = jax.nn.one_hot(x1 - base, gh, dtype=cvol.dtype)
+            s0 = jnp.einsum('bnx,bnqxc->bnqc', oh0, v,
+                            preferred_element_type=jnp.float32)
+            s1 = jnp.einsum('bnx,bnqxc->bnqc', oh1, v,
+                            preferred_element_type=jnp.float32)
+            lerp = s0 * (1 - wx[..., None, None]) + s1 * wx[..., None, None]
+            return jnp.sum(lerp * wq[..., None], axis=2)
+        vals = vals.reshape(B, Np, 4 * gh, C)
         w = (wq[..., :, None] * ux[..., None, :]).reshape(B, Np, 4 * gh)
         return jnp.einsum('bnk,bnkc->bnc', w, vals.astype(jnp.float32),
                           precision=jax.lax.Precision.HIGHEST)
@@ -426,6 +449,16 @@ def _sample_collapsed_one(cvol: jnp.ndarray, meta, pd: jnp.ndarray,
                     axis=0, mode='clip').reshape(B, 4, Np, gh, C)
     wq = jnp.stack([(1 - wz) * (1 - wy), (1 - wz) * wy,
                     wz * (1 - wy), wz * wy], axis=1)        # (B, 4, Np)
+    if select:
+        oh0 = jax.nn.one_hot(x0 - base, gh, dtype=cvol.dtype)
+        oh1 = jax.nn.one_hot(x1 - base, gh, dtype=cvol.dtype)
+        s0 = jnp.einsum('bnx,bknxc->bknc', oh0, vals,
+                        preferred_element_type=jnp.float32)
+        s1 = jnp.einsum('bnx,bknxc->bknc', oh1, vals,
+                        preferred_element_type=jnp.float32)
+        lerp = (s0 * (1 - wx[:, None, :, None])
+                + s1 * wx[:, None, :, None])
+        return jnp.sum(lerp * wq[..., None], axis=1)
     w = wq[..., None] * ux[:, None]                          # (B, 4, Np, gh)
     return jnp.einsum('bknx,bknxc->bnc', w, vals.astype(jnp.float32),
                       precision=jax.lax.Precision.HIGHEST)
@@ -521,7 +554,8 @@ def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
                              delta: float = 0.0722,
                              fuse_group: int = 0,
                              collapse_set=(),
-                             collapse_halo=()) -> jnp.ndarray:
+                             collapse_halo=(),
+                             collapse_select: bool = False) -> jnp.ndarray:
     """Packed equivalent of models.voxel.sample_multiscale: same 7
     displacement taps, same (c*7+d) channel ordering, same numerics.
 
@@ -543,10 +577,12 @@ def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
     pd = (p[:, None, :, :] + disp[None, :, None, :]).reshape(B, 7 * N, 3)
     collapse_set = frozenset(collapse_set)
     collapse_halo = frozenset(collapse_halo) - collapse_set
-    samples = {i: _sample_collapsed_one(packed_feats[i], metas[i], pd)
+    samples = {i: _sample_collapsed_one(packed_feats[i], metas[i], pd,
+                                        select=collapse_select)
                for i in collapse_set if i < len(metas)}
     samples.update({
-        i: _sample_collapsed_one(packed_feats[i], metas[i], pd, 'halo')
+        i: _sample_collapsed_one(packed_feats[i], metas[i], pd, 'halo',
+                                 select=collapse_select)
         for i in collapse_halo if i < len(metas)})
     rest = [i for i in range(len(metas)) if i not in samples]
     if fuse_group >= 2 and len(rest) > 1:

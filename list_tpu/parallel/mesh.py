@@ -82,6 +82,13 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
+def shard_batch_stacked(mesh: Mesh, batch: dict) -> dict:
+    """Device-put a K-step stacked batch dict (arrays are (K, B, ...)):
+    axis 0 is the scan (step) axis, axis 1 the data-parallel batch axis."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
 def replicate_tree(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
 

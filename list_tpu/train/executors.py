@@ -28,7 +28,8 @@ from list_tpu.eval.metrics import eval_mesh, eval_pointcloud
 from list_tpu.ops import (chamfer_loss, create_grid_points_from_bounds,
                           occupancy_loss, sdf_loss)
 from list_tpu.parallel import (auto_mesh, batch_sharding, make_mesh,
-                               query_sharding, replicated, shard_batch)
+                               query_sharding, replicated, shard_batch,
+                               shard_batch_stacked)
 from list_tpu.train.state import TrainState, make_optimizer
 from list_tpu.utils import generate_mesh, write_obj
 
@@ -83,6 +84,7 @@ class BaseExecutor:
         self._rng = init_rng if init_rng is not None else jax.random.PRNGKey(
             getattr(config, 'seed', 333))
         self.state = state
+        self._train_multi = None
 
     # -- state management ----------------------------------------------------
     def init_state(self, sample_batch: Dict[str, np.ndarray],
@@ -100,6 +102,48 @@ class BaseExecutor:
 
     def train(self, batch, calc_loss=True):
         raise NotImplementedError
+
+    # -- multi-step dispatch (--steps_per_dispatch) --------------------------
+    def _train_keys(self, batch):
+        """Subset of batch keys the train step consumes (subclass hook)."""
+        return dict(batch)
+
+    def _train_multi_fn(self, state: TrainState, batches):
+        """K sequential optimizer steps inside ONE XLA program: lax.scan
+        over the leading (step) axis of ``batches``.  The per-step body IS
+        ``_train_step_fn``, so numerics match K single dispatches exactly;
+        what changes is dispatch count — the r4 post-halo trace showed
+        0.25-0.65 s/step of host/dispatch gap between chained single-step
+        dispatches on this harness (device step 0.947 s vs 1.2-1.6 s wall),
+        which a K-step program amortizes by K.  The reference hot loop runs
+        one optimizer step per Python iteration (train.py:63-115)."""
+        def body(st, b):
+            st, losses = self._train_step_fn(st, b)
+            return st, losses
+
+        return jax.lax.scan(body, state, batches)
+
+    def train_multi(self, batches):
+        """Run ``len(batches)`` train steps in one device dispatch.
+
+        ``batches``: list of host batch dicts (identical shapes).  Returns
+        (None, losses) where each loss entry is a (K,) array — one value
+        per step, in order.  Uses plain jit (no checkify wrap; use
+        --steps_per_dispatch 1 when debugging with --checkify)."""
+        kept = [self._train_keys(b) for b in batches]
+        stacked = {k: np.stack([b[k] for b in kept]) for k in kept[0]}
+        stacked = shard_batch_stacked(self.mesh, stacked)
+        return self.train_multi_device(stacked)
+
+    def train_multi_device(self, stacked):
+        """train_multi on an already device-put/sharded (K, B, ...) stacked
+        batch dict (bench pre-puts the batch once so the timed loop pays no
+        host->device upload)."""
+        if self._train_multi is None:
+            self._train_multi = jax.jit(self._train_multi_fn,
+                                        donate_argnums=0)
+        self.state, losses = self._train_multi(self.state, stacked)
+        return None, losses
 
 
 class CoarseNetExecutor(BaseExecutor):
@@ -138,9 +182,11 @@ class CoarseNetExecutor(BaseExecutor):
         return self.model.apply({'params': state.params,
                                  'batch_stats': state.batch_stats}, img)
 
+    def _train_keys(self, batch):
+        return {'rgb_image': batch['rgb_image'], 'pc': batch['pc']}
+
     def train(self, batch, calc_loss: bool = True):
-        batch = {'rgb_image': batch['rgb_image'], 'pc': batch['pc']}
-        batch = shard_batch(self.mesh, batch)
+        batch = shard_batch(self.mesh, self._train_keys(batch))
         self.state, losses = self._train_step(self.state, batch)
         return None, losses
 
@@ -197,7 +243,7 @@ class LISTExecutor(BaseExecutor):
         # of device work in a 42 ms wall), so collapsing the 3-dispatch
         # predict path is worth ~0.05 s/mesh on the sweep.
         _statics = ('slab', 'use_pallas', 'scan_unroll', 'wire_name',
-                    'mesh', 'shard_axis')
+                    'mesh', 'shard_axis', 'fetch_mode')
         self._predict_dense = jax.jit(self._predict_dense_fn,
                                       static_argnames=_statics)
         self._dense_finish = jax.jit(self._dense_finish_fn,
@@ -275,35 +321,50 @@ class LISTExecutor(BaseExecutor):
 
     def _dense_finish_fn(self, params_dec, vox_feat, feat_l2, trans_mat, *,
                          slab, use_pallas, scan_unroll, wire_name,
-                         mesh=None, shard_axis=None):
+                         mesh=None, shard_axis=None, fetch_mode='grid'):
         """Dense decode + on-device sdf_scale divide + wire cast (one
-        jitted unit; nested dense_grid_sdf jit inlines)."""
+        jitted unit; nested dense_grid_sdf jit inlines).
+
+        fetch_mode='band' additionally packs the iso-band wire buffer
+        (ops/band.py band_encode) in the SAME dispatch: signs + crossing-
+        adjacent values, ~0.77 MB instead of the 4.2 MB bf16 grid — the
+        weather-proof fetch (VERDICT r4 #3)."""
         from list_tpu.ops.dense_grid import dense_grid_sdf
         mesh_kw = ({'mesh': mesh, 'shard_axis': shard_axis}
                    if mesh is not None and shard_axis is not None else {})
         grid = dense_grid_sdf(params_dec, vox_feat, feat_l2, trans_mat,
                               self.vox_res, slab=slab, bb_min=self.bb_min,
                               bb_max=self.bb_max, use_pallas=use_pallas,
-                              scan_unroll=scan_unroll, **mesh_kw)
+                              scan_unroll=scan_unroll,
+                              percep_collapse=bool(getattr(
+                                  self.config, 'percep_collapse', 0)),
+                              **mesh_kw)
         wire = jnp.bfloat16 if wire_name == 'bfloat16' else jnp.float32
-        return (grid / self.sdf_scale).astype(wire)
+        grid = (grid / self.sdf_scale).astype(wire)
+        if fetch_mode == 'band':
+            from list_tpu.ops.band import band_encode
+            return {'grid': grid, 'band': band_encode(grid)}
+        return grid
 
     def _predict_dense_fn(self, state: TrainState, img, trans_mat=None, *,
                           slab, use_pallas, scan_unroll, wire_name,
-                          mesh=None, shard_axis=None):
+                          mesh=None, shard_axis=None, fetch_mode='grid'):
         enc = self._encode_fn(state, img, trans_mat)
         return self._dense_finish_fn(
             state.params['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
             enc['trans_mat'], slab=slab, use_pallas=use_pallas,
             scan_unroll=scan_unroll, wire_name=wire_name, mesh=mesh,
-            shard_axis=shard_axis)
+            shard_axis=shard_axis, fetch_mode=fetch_mode)
 
     # -- training ------------------------------------------------------------
-    def train(self, batch, calc_loss: bool = True):
+    def _train_keys(self, batch):
         keep = {k: batch[k] for k in ('rgb_image', 'points', 'values', 'occ')}
         if 'transmat' in batch:
             keep['transmat'] = batch['transmat']
-        keep = shard_batch(self.mesh, keep)
+        return keep
+
+    def train(self, batch, calc_loss: bool = True):
+        keep = shard_batch(self.mesh, self._train_keys(batch))
         self.state, losses = self._train_step(self.state, keep)
         return None, losses
 
@@ -368,7 +429,8 @@ class LISTExecutor(BaseExecutor):
                      trans_mat: Optional[np.ndarray] = None,
                      fast: Optional[bool] = None,
                      device_out: bool = False,
-                     fetch_dtype: Optional[str] = None) -> np.ndarray:
+                     fetch_dtype: Optional[str] = None,
+                     fetch_mode: Optional[str] = None) -> np.ndarray:
         """Dense (vox_res^3) SDF field for one image.
 
         fast path (default): gather-free dense-grid decode
@@ -388,9 +450,17 @@ class LISTExecutor(BaseExecutor):
         interpolates edges that cross zero, where bf16's 8-bit mantissa
         keeps full RELATIVE precision, so vertex positions shift < 1e-4
         world units.  Host callers upcast after the fetch.  Pass 'float32'
-        for a bit-exact grid (parity tests do)."""
+        for a bit-exact grid (parity tests do).
+
+        fetch_mode (default --fetch_mode): 'band' packs the iso-band wire
+        buffer on device and device_out returns an ops.band.BandGrid
+        (fetch workers call fetch_grid_f32 / .to_numpy()); 'grid' ships
+        the full wire grid.  Band applies to the fast dense path only —
+        the chunked fallback always returns the grid."""
         if fetch_dtype is None:
             fetch_dtype = getattr(self.config, 'fetch_dtype', 'float32')
+        if fetch_mode is None:
+            fetch_mode = getattr(self.config, 'fetch_mode', 'grid')
         wire = jnp.bfloat16 if fetch_dtype == 'bfloat16' else jnp.float32
         img = jnp.asarray(rgb_image)
         tm = None if trans_mat is None else jnp.asarray(trans_mat)
@@ -418,10 +488,17 @@ class LISTExecutor(BaseExecutor):
             # ONE dispatch: encode + decode + on-device sdf_scale divide +
             # wire cast (the host-side 2.1M-float divide cost ~10 ms, and
             # each extra dispatch ~30 ms of relay wall)
+            band = fetch_mode == 'band'
             out = self._predict_dense(self.state, img, tm, slab=slab,
                                       use_pallas=use_pallas,
                                       scan_unroll=unroll,
-                                      wire_name=fetch_dtype, **mesh_kw)
+                                      wire_name=fetch_dtype,
+                                      fetch_mode=fetch_mode, **mesh_kw)
+            if band:
+                from list_tpu.ops.band import BandGrid
+                out = BandGrid(out['band'], out['grid'], self.vox_res,
+                               fetch_dtype)
+                return out if device_out else out.to_numpy()
             if device_out:
                 return out
             return np.asarray(out).astype(np.float32)
@@ -449,7 +526,8 @@ class LISTExecutor(BaseExecutor):
     def predict_grid_batch(self, rgb_images: np.ndarray,
                            trans_mats: Optional[np.ndarray] = None,
                            device_out: bool = False,
-                           fetch_dtype: Optional[str] = None):
+                           fetch_dtype: Optional[str] = None,
+                           fetch_mode: Optional[str] = None):
         """Dense SDF fields for B images with ONE batched encoder pass.
 
         The encoder is op-dispatch bound at batch 1 (two ResNet18s = many
@@ -466,6 +544,8 @@ class LISTExecutor(BaseExecutor):
         fetches), else a stacked (B, R, R, R) float32 numpy array."""
         if fetch_dtype is None:
             fetch_dtype = getattr(self.config, 'fetch_dtype', 'float32')
+        if fetch_mode is None:
+            fetch_mode = getattr(self.config, 'fetch_mode', 'grid')
         imgs = jnp.asarray(rgb_images)
         slab, use_pallas, unroll = self._dense_plan(1)
         fast = bool(getattr(self.config, 'fast_grid', 1)) and slab is not None
@@ -474,26 +554,33 @@ class LISTExecutor(BaseExecutor):
             grids = [self.predict_grid(
                 imgs[i:i + 1],
                 None if trans_mats is None else trans_mats[i:i + 1],
-                device_out=True, fetch_dtype=fetch_dtype)
+                device_out=True, fetch_dtype=fetch_dtype,
+                fetch_mode=fetch_mode)
                 for i in range(imgs.shape[0])]
         else:
+            from list_tpu.ops.band import BandGrid
             enc = self._encode(self.state, imgs,
                                None if trans_mats is None
                                else jnp.asarray(trans_mats))
             grids = []
             for i in range(imgs.shape[0]):
                 # one dispatch per mesh: decode + divide + wire cast fused
-                grids.append(self._dense_finish(
+                out = self._dense_finish(
                     self.state.params['sdf_decoder'],
                     [f[i:i + 1] for f in enc['vox_feat']],
                     [f[i:i + 1] for f in enc['feat_l2']],
                     enc['trans_mat'][i:i + 1], slab=slab,
                     use_pallas=use_pallas,
                     scan_unroll=unroll,
-                    wire_name=fetch_dtype))
+                    wire_name=fetch_dtype, fetch_mode=fetch_mode)
+                if fetch_mode == 'band':
+                    out = BandGrid(out['band'], out['grid'], self.vox_res,
+                                   fetch_dtype)
+                grids.append(out)
         if device_out:
             return grids
-        return np.stack([np.asarray(g).astype(np.float32) for g in grids])
+        from list_tpu.ops.band import fetch_grid_f32
+        return np.stack([fetch_grid_f32(g) for g in grids])
 
     def test(self, batch, eval_pred: bool = False):
         img = batch['rgb_image']

@@ -36,31 +36,66 @@ def build_executor(config, model, **kw):
 
 
 def test_epoch(executor, dataset, cat_id, shape_id, cam_id, output_dir,
-               eval_pred=False) -> Dict[str, float]:
-    os.makedirs(os.path.join(output_dir, cat_id), exist_ok=True)
+               eval_pred=False, write=True) -> Dict[str, float]:
+    if write:
+        os.makedirs(os.path.join(output_dir, cat_id), exist_ok=True)
     batch = dataset.get_testdata(cat_id, shape_id, cam_id)
     pred, eval_score = executor.test(batch, eval_pred)
-    fname = os.path.join(output_dir, cat_id, f'{shape_id}_{cam_id}')
-    executor.save(batch, pred, fname)
+    if write:
+        fname = os.path.join(output_dir, cat_id, f'{shape_id}_{cam_id}')
+        executor.save(batch, pred, fname)
     return eval_score
 
 
-def run_testlist(epoch, executor, dataset, config, testlist
-                 ) -> Dict[str, float]:
+def run_testlist(epoch, executor, dataset, config, testlist,
+                 write=True) -> Dict[str, float]:
     """Accumulate eval scores over the testlist (reference: train.py:37-60;
-    NaNs skipped per train.py:53-54)."""
+    NaNs skipped per train.py:53-54).
+
+    In a --multihost run EVERY process must call this (the executor's
+    jitted predict programs span the global device mesh — a primary-only
+    launch deadlocks the other processes at the first collective); only
+    the file/mesh WRITES are gated, via ``write`` (primary only)."""
     eval_scores: Dict[str, float] = {}
     output_dir = os.path.join(config.results_dir, f'epoch_{epoch + 1}')
-    os.makedirs(output_dir, exist_ok=True)
+    if write:
+        os.makedirs(output_dir, exist_ok=True)
     for testdata in testlist:
         eval_score = test_epoch(executor, dataset, testdata['cat_id'],
                                 testdata['shape_id'], testdata['cam_id'],
-                                output_dir, config.eval_pred)
+                                output_dir, config.eval_pred, write=write)
         for k, v in eval_score.items():
             if np.isnan(v):
                 continue
             eval_scores[k] = eval_scores.get(k, 0.0) + v
     return eval_scores
+
+
+def _step_losses(executor, config, data_iter):
+    """Yield per-step host loss dicts, honoring --steps_per_dispatch: K
+    batches are stacked into ONE lax.scan'd device program (executor
+    .train_multi) and the K per-step losses come back together; ragged
+    tails (< K batches left) fall back to single steps so no second
+    multi-step program shape is compiled."""
+    k = int(getattr(config, 'steps_per_dispatch', 1) or 1)
+    if k <= 1 or not hasattr(executor, 'train_multi') \
+            or getattr(config, 'checkify', False):
+        for batch in data_iter:
+            _, batch_loss = executor.train(batch=batch, calc_loss=True)
+            yield {kk: float(v) for kk, v in batch_loss.items()}
+        return
+    group = []
+    for batch in data_iter:
+        group.append(batch)
+        if len(group) == k:
+            _, stacked = executor.train_multi(group)
+            host = {kk: np.asarray(v) for kk, v in stacked.items()}
+            for i in range(k):
+                yield {kk: float(v[i]) for kk, v in host.items()}
+            group = []
+    for batch in group:  # ragged tail: single steps
+        _, batch_loss = executor.train(batch=batch, calc_loss=True)
+        yield {kk: float(v) for kk, v in batch_loss.items()}
 
 
 def train_one_epoch(epoch, executor, data_iter, config, writer
@@ -69,10 +104,14 @@ def train_one_epoch(epoch, executor, data_iter, config, writer
     epoch_start = time.time()
     n_batches = len(data_iter)
     batch_idx = -1
-    for batch_idx, batch in enumerate(data_iter):
+    step_iter = _step_losses(executor, config, data_iter)
+    while True:
         iter_start = time.time()
-        _, batch_loss = executor.train(batch=batch, calc_loss=True)
-        batch_loss = {k: float(v) for k, v in batch_loss.items()}
+        try:
+            batch_loss = next(step_iter)
+        except StopIteration:
+            break
+        batch_idx += 1
         loss = sum(v for k, v in batch_loss.items() if 'ignore' not in k)
         for k, v in batch_loss.items():
             losses[k] = losses.get(k, 0.0) + v
@@ -238,10 +277,16 @@ def train(config) -> None:
                     ckpt.save_checkpoint(epoch, executor.state, loss,
                                          best_train_path)
 
-        if primary and (epoch + 1) % config.test_every_epoch == 0:
+        if (epoch + 1) % config.test_every_epoch == 0:
+            # ALL processes run the eval computation — the executor's
+            # jitted predict programs span the global mesh, so a
+            # primary-only launch would deadlock the other processes at
+            # the first collective (ADVICE r4).  Inputs are identical on
+            # every process, so scores/best-tracking advance identically;
+            # only writes are gated on ``primary``.
             eval_start = time.time()
             eval_scores = run_testlist(epoch, executor, trainset, config,
-                                       config.testlist)
+                                       config.testlist, write=primary)
             n_test = max(len(config.testlist), 1)
             # best-model selection prefers IoU, then chamfer (train.py:270-277)
             if config.eval_pred and 'iou' in eval_scores \
@@ -256,8 +301,9 @@ def train(config) -> None:
                     and (epoch + 1) >= config.save_after_epoch:
                 best_test_score = test_score
                 best_test_epoch = epoch + 1
-                ckpt.save_checkpoint(epoch, executor.state, test_score,
-                                     best_test_path)  # primary-only block
+                if primary:
+                    ckpt.save_checkpoint(epoch, executor.state, test_score,
+                                         best_test_path)
 
             logline = (f'{config.exp_name} Test: Epoch '
                        f'{epoch + 1:03d}||{config.epochs} ')
@@ -268,8 +314,9 @@ def train(config) -> None:
                 f' Best Score: {best_test_score:7.3f} '
                 f'Best Epoch: {best_test_epoch:03d} '
                 f'time: {(time.time() - eval_start):0.5f}')
-            print(logline)
-            print_log(config.log, logline)
+            if primary:
+                print(logline)
+                print_log(config.log, logline)
 
         epoch += 1
         if getattr(config, 'profile_dir', '') and epoch == 1:

@@ -184,3 +184,26 @@ def test_batched_encode_slices_match_per_image(tiny_setup):
             compute_dtype=jnp.float32))
         np.testing.assert_allclose(batched_slice, single,
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_percep_collapse_matches(tiny_setup):
+    """percep_collapse: the 2D corner-collapsed projected map (one gathered
+    row per query) must reproduce the 4-corner gather bitwise — same
+    values selected, same lerp expression (r5, dense-path percep lead)."""
+    model, vars_, enc, R = tiny_setup
+    base = np.asarray(dense_grid_sdf(
+        vars_['params']['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
+        enc['trans_mat'], R, slab=4, compute_dtype=jnp.float32))
+    coll = np.asarray(dense_grid_sdf(
+        vars_['params']['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
+        enc['trans_mat'], R, slab=4, compute_dtype=jnp.float32,
+        percep_collapse=True))
+    np.testing.assert_array_equal(coll, base)
+    # bf16 compute path too (production dtype)
+    b16 = np.asarray(dense_grid_sdf(
+        vars_['params']['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
+        enc['trans_mat'], R, slab=4))
+    c16 = np.asarray(dense_grid_sdf(
+        vars_['params']['sdf_decoder'], enc['vox_feat'], enc['feat_l2'],
+        enc['trans_mat'], R, slab=4, percep_collapse=True))
+    np.testing.assert_allclose(c16, b16, atol=2e-2, rtol=2e-2)

@@ -282,3 +282,50 @@ def test_halo_collapsed_sampler_matches(rng):
     for a, b in zip(g_h, g_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_collapse_select_matches(rng):
+    """--collapse_select (bf16 0/1-select + f32-lerp extraction) matches
+    the f32-weight-einsum formulation in value and volume-gradient for
+    both full and halo collapse modes (r5 lead #1 A/B flag)."""
+    import jax
+    import jax.numpy as jnp
+    from list_tpu.ops.sampling import (collapse_corners, pack_channels_last,
+                                       sample_multiscale_packed)
+
+    feats, packed, metas = [], [], []
+    for res, c in ((8, 1), (8, 2), (8, 16), (4, 64)):
+        f = jnp.asarray(rng.randn(2, res, res, res, c).astype(np.float32))
+        feats.append(f)
+        p_, m_ = pack_channels_last(f)
+        packed.append(p_)
+        metas.append(m_)
+    p = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 33, 3)).astype(np.float32))
+
+    cset, chalo = (0, 3), (2,)
+    vols = [collapse_corners(packed[0], metas[0]), packed[1],
+            collapse_corners(packed[2], metas[2], 'halo'),
+            collapse_corners(packed[3], metas[3])]
+    base = np.asarray(sample_multiscale_packed(
+        vols, metas, p, collapse_set=cset, collapse_halo=chalo))
+    sel = np.asarray(sample_multiscale_packed(
+        vols, metas, p, collapse_set=cset, collapse_halo=chalo,
+        collapse_select=True))
+    np.testing.assert_allclose(sel, base, atol=1e-5, rtol=1e-5)
+
+    cot = jnp.asarray(rng.randn(2, 33, base.shape[-1]).astype(np.float32))
+
+    def loss(vraw, select):
+        qs, ms = zip(*[pack_channels_last(v) for v in vraw])
+        cs = [collapse_corners(qs[0], ms[0]), qs[1],
+              collapse_corners(qs[2], ms[2], 'halo'),
+              collapse_corners(qs[3], ms[3])]
+        return jnp.vdot(sample_multiscale_packed(
+            cs, list(ms), p, collapse_set=cset, collapse_halo=chalo,
+            collapse_select=select), cot)
+
+    g0 = jax.grad(lambda v: loss(v, False))(feats)
+    g1 = jax.grad(lambda v: loss(v, True))(feats)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-5)

@@ -170,6 +170,84 @@ def test_remat_save_samples_loss_parity():
                 err_msg=f'loss {k} diverged under remat_save_samples={save}')
 
 
+def test_steps_per_dispatch_parity():
+    """--steps_per_dispatch (train_multi): K lax.scan'd steps in ONE
+    program must match K single-step dispatches — same per-step losses,
+    same final params (the scan body IS _train_step_fn; only dispatch
+    count changes).  VERDICT r4 next-round #1."""
+    cfg = tiny_cfg()
+    ds = SyntheticSDFDataset(cfg, 'train', n_shapes=4)
+    b1 = collate([ds[0], ds[1]])
+    b2 = collate([ds[2], ds[3]])
+
+    def build():
+        model = LIST(vox_res=cfg.vox_res, point_feat=tuple(cfg.point_feat),
+                     point_degree=tuple(cfg.point_degree),
+                     im_enc_layers=tuple(cfg.im_enc_layers), h_dim=8,
+                     support=2)
+        ex = LISTExecutor(cfg, model)
+        ex.init_state(b1)
+        return ex
+
+    ex_single = build()
+    _, l1 = ex_single.train(b1)
+    l1 = {k: float(v) for k, v in l1.items()}
+    _, l2 = ex_single.train(b2)
+    l2 = {k: float(v) for k, v in l2.items()}
+
+    ex_multi = build()
+    _, stacked = ex_multi.train_multi([b1, b2])
+    stacked = {k: np.asarray(v) for k, v in stacked.items()}
+
+    for k in l1:
+        assert stacked[k].shape == (2,)
+        # step 1 runs from the identical initial state: near-exact (only
+        # program-level fusion/reassociation differs) — this pins the
+        # batch ORDER and the carry threading.
+        np.testing.assert_allclose(stacked[k][0], l1[k], rtol=2e-5,
+                                   err_msg=f'step-1 loss {k}')
+        # step 2 amplifies step-1's low-order fp drift through the bf16
+        # feature packing + Adam; measured ~4e-4 relative on CPU.  A
+        # semantic bug (wrong batch, skipped step) would be orders larger.
+        np.testing.assert_allclose(stacked[k][1], l2[k], rtol=5e-3,
+                                   err_msg=f'step-2 loss {k}')
+    assert int(ex_multi.state.step) == 2
+    p_s = jax.tree.leaves(jax.tree.map(np.asarray, ex_single.state.params))
+    p_m = jax.tree.leaves(jax.tree.map(np.asarray, ex_multi.state.params))
+    for a, b in zip(p_s, p_m):
+        # Adam normalizes each update to ~lr: where a gradient component
+        # is near zero, cross-program last-ulp drift can flip its SIGN and
+        # the two paths step +-lr apart (measured: 0.4% of elements, max
+        # 3.3e-3 after 2 steps at lr=1e-3).  Bound at the 2-step Adam
+        # movement scale — structural bugs (wrong/skipped batch) move
+        # far more than 4*lr.
+        np.testing.assert_allclose(a, b, atol=4e-3)
+
+
+def test_step_losses_ragged_tail():
+    """_step_losses: 5 batches at K=2 -> two multi dispatches + one single
+    tail step, losses yielded per step in order."""
+    from types import SimpleNamespace
+
+    from list_tpu.train.trainer import _step_losses
+
+    calls = []
+
+    class Stub:
+        def train(self, batch=None, calc_loss=True):
+            calls.append(('single', [batch]))
+            return None, {'l': jnp.asarray(float(batch))}
+
+        def train_multi(self, batches):
+            calls.append(('multi', list(batches)))
+            return None, {'l': jnp.asarray([float(b) for b in batches])}
+
+    cfg = SimpleNamespace(steps_per_dispatch=2, checkify=False)
+    out = list(_step_losses(Stub(), cfg, iter(range(5))))
+    assert [o['l'] for o in out] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert [c[0] for c in calls] == ['multi', 'multi', 'single']
+
+
 def test_list_inference_mesh(list_exec, tmp_path):
     ex, batch, ds = list_exec
     td = ds.get_testdata('synthetic', '0', 0)
@@ -207,12 +285,13 @@ def test_predict_grid_bf16_fetch(list_exec):
     interpolates)."""
     ex, batch, ds = list_exec
     img = batch['rgb_image'][:1]
-    f32 = ex.predict_grid(img, fetch_dtype='float32')
+    f32 = ex.predict_grid(img, fetch_dtype='float32', fetch_mode='grid')
     assert f32.dtype == np.float32
-    dev = ex.predict_grid(img, device_out=True, fetch_dtype='bfloat16')
+    dev = ex.predict_grid(img, device_out=True, fetch_dtype='bfloat16',
+                          fetch_mode='grid')
     assert dev.dtype == jnp.bfloat16
     b = np.asarray(dev).astype(np.float32)
-    host = ex.predict_grid(img, fetch_dtype='bfloat16')
+    host = ex.predict_grid(img, fetch_dtype='bfloat16', fetch_mode='grid')
     assert host.dtype == np.float32
     np.testing.assert_array_equal(host, b)
     # bf16 relative error is <= 2^-8; values are O(1) after /sdf_scale
@@ -221,6 +300,39 @@ def test_predict_grid_bf16_fetch(list_exec):
     if near.any():
         assert np.abs(b[near] - f32[near]).max() <= \
             np.abs(f32[near]).max() * 2.0 ** -8 + 1e-7
+
+
+def test_predict_grid_band_mode(list_exec):
+    """--fetch_mode band (the default): identical vertex classes
+    everywhere, exact values on the mixed-cube band, and the extracted
+    mesh bitwise equal to the full-grid fetch (VERDICT r4 #3)."""
+    from list_tpu.ops.band import BandGrid, fetch_grid_f32
+    from list_tpu.utils.meshing import generate_mesh
+
+    ex, batch, ds = list_exec
+    img = batch['rgb_image'][:1]
+    full = ex.predict_grid(img, fetch_dtype='bfloat16', fetch_mode='grid')
+    band = ex.predict_grid(img, fetch_dtype='bfloat16', fetch_mode='band')
+    np.testing.assert_array_equal(full > 0, band > 0)
+    from list_tpu.ops.band import _mixed_cube_mask
+    mask = _mixed_cube_mask(full > 0)
+    np.testing.assert_array_equal(band[mask], full[mask])
+    mf = generate_mesh(full, ex.bb_min, ex.bb_max, as_trimesh_obj=True)
+    mb = generate_mesh(band, ex.bb_min, ex.bb_max, as_trimesh_obj=True)
+    np.testing.assert_array_equal(np.asarray(mf.vertices),
+                                  np.asarray(mb.vertices))
+    np.testing.assert_array_equal(np.asarray(mf.faces),
+                                  np.asarray(mb.faces))
+    # device_out returns a BandGrid whose fetch matches the host path
+    dev = ex.predict_grid(img, fetch_dtype='bfloat16', fetch_mode='band',
+                          device_out=True)
+    assert isinstance(dev, BandGrid)
+    np.testing.assert_array_equal(fetch_grid_f32(dev), band)
+    # batch path wraps BandGrids too
+    devs = ex.predict_grid_batch(img, device_out=True,
+                                 fetch_dtype='bfloat16', fetch_mode='band')
+    assert isinstance(devs[0], BandGrid)
+    np.testing.assert_array_equal(fetch_grid_f32(devs[0]), band)
 
 
 def test_checkpoint_roundtrip(list_exec, tmp_path):

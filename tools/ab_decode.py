@@ -65,13 +65,17 @@ def main():
         up = fields[4] if len(fields) > 4 else 0
         # optional 6th field: hoist_variants (-1 = auto/None)
         hv = None if len(fields) < 6 or fields[5] < 0 else bool(fields[5])
+        # optional 7th field: percep_collapse (r5: one collapsed 2048-ch
+        # row per query instead of 4 corner rows)
+        pc = bool(fields[6]) if len(fields) > 6 else False
         key = (f'slab{slab}_u{unroll}_cp{cp}'
                f'_co{-1 if co is None else int(co)}_p{up}'
-               f'_hv{-1 if hv is None else int(hv)}')
+               f'_hv{-1 if hv is None else int(hv)}_pc{int(pc)}')
         try:
             g = dense_grid_sdf(*dargs, slab=slab, scan_unroll=unroll,
                                coarse_proj=cp, coarse_outside=co,
-                               use_pallas=up, hoist_variants=hv)
+                               use_pallas=up, hoist_variants=hv,
+                               percep_collapse=pc)
             if ref is None:
                 ref = np.asarray(g)
             else:
@@ -81,7 +85,8 @@ def main():
             med, reps = t(lambda: _fetch(dense_grid_sdf(
                 *dargs, slab=slab, scan_unroll=unroll,
                 coarse_proj=cp, coarse_outside=co,
-                use_pallas=up, hoist_variants=hv)[0, 0, 0]))
+                use_pallas=up, hoist_variants=hv,
+                percep_collapse=pc)[0, 0, 0]))
             out[key] = med
             out[key + '_reps'] = reps
         except Exception as e:

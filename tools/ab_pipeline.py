@@ -43,8 +43,9 @@ def main():
     imgs = [rng.rand(1, 224, 224, 3).astype(np.float32) for _ in range(8)]
     ex.init_state({'rgb_image': imgs[0]})
     # compile + warm
+    from list_tpu.ops.band import fetch_grid_f32
     g = ex.predict_grid(imgs[0], device_out=True)
-    np.asarray(g)
+    fetch_grid_f32(g)
 
     out = {}
     n_meshes = 8
@@ -58,8 +59,9 @@ def main():
             if stage:
                 jax.block_until_ready(srcs)
             t0 = time.time()
+            from list_tpu.ops.band import fetch_grid_f32
             futs = [pool.submit(
-                lambda gg: np.asarray(gg).astype(np.float32),
+                fetch_grid_f32,
                 ex.predict_grid(srcs[i], device_out=True))
                 for i in range(n_meshes)]
             grids = [f.result() for f in futs]

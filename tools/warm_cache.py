@@ -66,6 +66,17 @@ def main():
         _, losses = ex.train(batch)
         assert np.isfinite(float(np.asarray(losses['sdf_loss'])))
         stamp(f'train step (batch {bsz})', t0)
+        if bsz <= 4:
+            # --steps_per_dispatch multi program (bench K=4 default)
+            from list_tpu.parallel.mesh import shard_batch_stacked
+            t0 = time.time()
+            K = 4
+            stacked = shard_batch_stacked(
+                ex.mesh, {k: np.broadcast_to(v[None], (K,) + v.shape)
+                          for k, v in batch.items()})
+            _, ml = ex.train_multi_device(stacked)
+            assert np.isfinite(np.asarray(ml['sdf_loss'])).all()
+            stamp(f'train multi K={K} (batch {bsz})', t0)
         del ex, batch, losses
 
     t0 = time.time()

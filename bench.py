@@ -152,8 +152,11 @@ def main():
             extras['relay_rtt_s'] = round(rtt, 3)
             # Pre-put the batch so the loop's device_put is a no-op (no
             # per-step 33 MB host->device upload through the tunnel).
+            # Through _train_keys: binary occ rides as uint8 — a raw-f32
+            # pre-put would be a different program signature and force a
+            # recompile inside the timed loop.
             from list_tpu.parallel.mesh import shard_batch
-            batch = shard_batch(bex.mesh, batch)
+            batch = shard_batch(bex.mesh, bex._train_keys(batch))
             n_steps = 4
             t0 = time.time()
             for _ in range(n_steps):
@@ -177,12 +180,15 @@ def main():
             # amortizes by K (VERDICT r4 #1).  Same math per step (parity:
             # tests/test_train.py::test_steps_per_dispatch_parity).
             try:
-                K = int(os.environ.get('BENCH_STEPS_PER_DISPATCH', 4))
+                # batch 8 fits HBM with ~250 MB headroom; K=4 stacked
+                # batches add ~290 MB there — cap K at 2 above batch 4.
+                K = int(os.environ.get('BENCH_STEPS_PER_DISPATCH',
+                                       4 if bsz <= 4 else 2))
                 from list_tpu.parallel.mesh import shard_batch_stacked
                 stacked = shard_batch_stacked(
                     bex.mesh, {k: np.broadcast_to(
                         v[None], (K,) + v.shape) for k, v in
-                        host_batch.items()})
+                        bex._train_keys(host_batch).items()})
                 t0 = time.time()
                 _, ml = bex.train_multi_device(stacked)  # compile + K steps
                 _fetch(ml['sdf_loss'][-1])
@@ -401,7 +407,10 @@ def main():
         # (slab=R — the full-lane projection rework shrank the program so
         # one 128-slab scan step compiles; 0.183 s/decode vs 0.197 for the
         # slab=64 XLA head, r3 interleaved A/B)
-        dkw = dict(slab=128, scan_unroll=1, use_pallas=2)
+        # production default at 128^3 incl. the r5 percep corner-collapse
+        # (fused head 0.188 -> 0.175 s/decode, bitwise-equal)
+        dkw = dict(slab=128, scan_unroll=1, use_pallas=2,
+                   percep_collapse=True)
         dargs = (ex.state.params['sdf_decoder'], enc['vox_feat'],
                  enc['feat_l2'], enc['trans_mat'], 128)
         decode_s = _t(lambda: _fetch(
@@ -473,17 +482,24 @@ def main():
             _fetch(dense_grid_sdf(*args256, **kw)[0, 0, 0])
             ts256.append(time.time() - t0)
         extras['decode_s_256'] = round(float(np.median(ts256)), 3)
-        # pipelined like the headline: bf16-wire grid fetches (32 MB each)
-        # overlap the device decode of later meshes on a 5-worker pool
+        # pipelined like the headline: band-wire fetches (~6 MB vs the
+        # 32 MB bf16 grid) overlap the device decode of later meshes
         from concurrent.futures import ThreadPoolExecutor
+
+        from list_tpu.ops.band import band_decode, band_encode
+        _enc256 = jax.jit(band_encode)
+
+        def _fetch_band256():
+            buf = np.asarray(_enc256(
+                dense_grid_sdf(*args256, **kw).astype(jnp.bfloat16)))
+            rec = band_decode(buf, 256, 'bfloat16')
+            return rec if rec is not None else buf  # overflow: signs only
         n256 = 4
         with ThreadPoolExecutor(max_workers=5) as pool:
             pool.submit(lambda: None).result()
+            _fetch_band256()  # compile the band-encode program
             t0 = time.time()
-            futs = [pool.submit(
-                lambda g: np.asarray(g).astype(np.float32),
-                dense_grid_sdf(*args256, **kw).astype(jnp.bfloat16))
-                    for _ in range(n256)]
+            futs = [pool.submit(_fetch_band256) for _ in range(n256)]
             gs256 = [f.result() for f in futs]
             sec_256 = (time.time() - t0) / n256
         assert all(np.isfinite(g).all() for g in gs256)

@@ -210,15 +210,18 @@ def _build_parser() -> ArgumentParser:
                              'Auto: 2 at vox_res<=192, 0 at larger (256^3 '
                              'measured faster on the XLA head). '
                              'Non-TPU backends always use XLA.')
-    parser.add_argument('--percep_collapse', type=int, default=0,
+    parser.add_argument('--percep_collapse', type=int, default=-1,
                         help='Dense-decode perceptual sampling: 1 gathers '
                              'ONE corner-collapsed row per query from a '
                              '4x-wide projected map (2D analog of '
                              '--collapse_samples; bitwise-equal output, '
                              'tests/test_dense_grid.py) instead of 4 '
                              'corner rows; 0 keeps the 4-corner batched '
-                             'take. A/B knob for the ~1/3-of-decode '
-                             'percep gather budget (VERDICT r4 #6).')
+                             'take. -1 (default) auto: ON with the fused '
+                             'Pallas head, OFF with the XLA head — the '
+                             'measured split (r5 on-chip A/B, 128^3: '
+                             'fused 0.188 -> 0.175 s/decode WIN, XLA '
+                             'slab-64 0.198 -> 0.244 LOSS).')
     parser.add_argument('--remat', type=int, default=1,
                         help='Rematerialize the voxel encoder in training to '
                              'trade FLOPs for HBM.')

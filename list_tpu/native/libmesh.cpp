@@ -666,7 +666,7 @@ int64_t marching_cubes_mc(const float* grid, int64_t nx, int64_t ny,
 // leaf scan is a flat vectorizable loop), and split-plane pruning.  Exact
 // same metric (min over squared distances; sqrt once).
 struct KDTree {
-  static constexpr int LEAF = 16;
+  static constexpr int LEAF = 32;
   struct Node {
     double split;
     int32_t axis;      // -1 = leaf
@@ -674,8 +674,9 @@ struct KDTree {
     int64_t lo, hi;    // leaf range in packed order
   };
   std::vector<Node> nodes;
-  std::vector<double> P;      // packed coords, build order
-  std::vector<int64_t> orig;  // packed -> original index
+  std::vector<double> P;          // packed coords, build order (AoS)
+  std::vector<double> X, Y, Z;    // SoA copies: the leaf scan vectorizes
+  std::vector<int64_t> orig;      // packed -> original index
 
   void build(const double* pts, int64_t n) {
     std::vector<int64_t> idx(n);
@@ -683,10 +684,12 @@ struct KDTree {
     nodes.reserve((size_t)(2 * n / LEAF + 8));
     build_rec(pts, idx, 0, n);
     P.resize((size_t)n * 3);
+    X.resize(n); Y.resize(n); Z.resize(n);
     orig.resize(n);
     for (int64_t i = 0; i < n; ++i) {
       orig[i] = idx[i];
       for (int d = 0; d < 3; ++d) P[i * 3 + d] = pts[idx[i] * 3 + d];
+      X[i] = P[i * 3 + 0]; Y[i] = P[i * 3 + 1]; Z[i] = P[i * 3 + 2];
     }
   }
 
@@ -729,16 +732,23 @@ struct KDTree {
                         int64_t& best_p) const {
     const Node& nd = nodes[ni];
     if (nd.axis < 0) {
-      for (int64_t i = nd.lo; i < nd.hi; ++i) {
-        double dx = q[0] - P[i * 3 + 0];
-        double dy = q[1] - P[i * 3 + 1];
-        double dz = q[2] - P[i * 3 + 2];
-        double d2 = dx * dx + dy * dy + dz * dz;
-        if (d2 < best2) {
-          best2 = d2;
-          best_p = i;
-        }
+      // two-phase leaf scan over SoA coords: the distance loop has no
+      // loop-carried dependency, so it auto-vectorizes; the argmin pass
+      // runs on the tiny stack buffer.
+      int n = (int)(nd.hi - nd.lo);
+      const double* px = &X[nd.lo];
+      const double* py = &Y[nd.lo];
+      const double* pz = &Z[nd.lo];
+      double d2s[LEAF];
+      for (int j = 0; j < n; ++j) {
+        double dx = q[0] - px[j], dy = q[1] - py[j], dz = q[2] - pz[j];
+        d2s[j] = dx * dx + dy * dy + dz * dz;
       }
+      for (int j = 0; j < n; ++j)
+        if (d2s[j] < best2) {
+          best2 = d2s[j];
+          best_p = nd.lo + j;
+        }
       return;
     }
     double diff = q[nd.axis] - nd.split;

@@ -294,13 +294,17 @@ class LISTExecutor(BaseExecutor):
                          points=jnp.take_along_axis(pts, order[..., None], 1),
                          values=jnp.take_along_axis(vals, order, 1))
 
+        occ_gt = batch['occ']
+        if occ_gt.dtype != jnp.float32:  # uint8 wire (see _train_keys)
+            occ_gt = occ_gt.astype(jnp.float32)
+
         def loss_fn(params):
             (occ_pred, sdf_pred), updates = self.model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
                 batch['rgb_image'], batch['points'], trans_mat, True,
                 mutable=['batch_stats'])
             losses = self.calc_loss((occ_pred, sdf_pred),
-                                    (batch['occ'], batch['values']))
+                                    (occ_gt, batch['values']))
             return total_loss(losses), (losses, updates['batch_stats'])
 
         (_, (losses, new_stats)), grads = jax.value_and_grad(
@@ -332,13 +336,14 @@ class LISTExecutor(BaseExecutor):
         from list_tpu.ops.dense_grid import dense_grid_sdf
         mesh_kw = ({'mesh': mesh, 'shard_axis': shard_axis}
                    if mesh is not None and shard_axis is not None else {})
+        pc = int(getattr(self.config, 'percep_collapse', -1))
+        if pc < 0:  # auto: the measured winner per head (r5 A/B)
+            pc = int(use_pallas) == 2
         grid = dense_grid_sdf(params_dec, vox_feat, feat_l2, trans_mat,
                               self.vox_res, slab=slab, bb_min=self.bb_min,
                               bb_max=self.bb_max, use_pallas=use_pallas,
                               scan_unroll=scan_unroll,
-                              percep_collapse=bool(getattr(
-                                  self.config, 'percep_collapse', 0)),
-                              **mesh_kw)
+                              percep_collapse=bool(pc), **mesh_kw)
         wire = jnp.bfloat16 if wire_name == 'bfloat16' else jnp.float32
         grid = (grid / self.sdf_scale).astype(wire)
         if fetch_mode == 'band':
@@ -361,6 +366,14 @@ class LISTExecutor(BaseExecutor):
         keep = {k: batch[k] for k in ('rgb_image', 'points', 'values', 'occ')}
         if 'transmat' in batch:
             keep['transmat'] = batch['transmat']
+        # exactly-binary occupancy rides host->device as uint8 (4x fewer
+        # bytes: 33 -> 8 MB per batch-4 step, and 4x less stacked-batch
+        # HBM under --steps_per_dispatch); the step casts back to f32 —
+        # bit-exact for 0/1 targets.  Soft occupancies pass through.
+        occ = keep.get('occ')
+        if isinstance(occ, np.ndarray) and occ.dtype == np.float32 \
+                and ((occ == 0) | (occ == 1)).all():
+            keep['occ'] = occ.astype(np.uint8)
         return keep
 
     def train(self, batch, calc_loss: bool = True):

@@ -73,7 +73,10 @@ def run_variant(spec: str, bsz: int, batch_np):
         _ = float(np.asarray(jax.numpy.float32(i) + 1.0))
         rtts.append(time.time() - t0)
     rtt = float(np.median(rtts))
-    batch = shard_batch(ex.mesh, batch_np)
+    # pre-put THROUGH _train_keys: it converts binary occ to uint8, and a
+    # raw-f32 pre-put would be a different program signature — a full
+    # recompile inside the timed loop (measured: "36.6 s/step")
+    batch = shard_batch(ex.mesh, ex._train_keys(batch_np))
     n = 4
     t0 = time.time()
     for _ in range(n):
@@ -84,9 +87,10 @@ def run_variant(spec: str, bsz: int, batch_np):
     line = (f'[{spec} b{bsz}] single: {step1:.3f} s/step '
             f'(compile {compile_s:.0f}s, rtt {rtt:.2f}, sdf {sdf:.4f})')
     if K > 1:
+        kept = ex._train_keys(batch_np)  # incl. uint8 occ packing
         stacked = shard_batch_stacked(
             ex.mesh, {k: np.broadcast_to(v[None], (K,) + v.shape)
-                      for k, v in batch_np.items()})
+                      for k, v in kept.items()})
         t0 = time.time()
         _, ml = ex.train_multi_device(stacked)
         sdfk = float(np.asarray(ml['sdf_loss'][-1]))

@@ -73,7 +73,7 @@ def main():
             K = 4
             stacked = shard_batch_stacked(
                 ex.mesh, {k: np.broadcast_to(v[None], (K,) + v.shape)
-                          for k, v in batch.items()})
+                          for k, v in ex._train_keys(batch).items()})
             _, ml = ex.train_multi_device(stacked)
             assert np.isfinite(np.asarray(ml['sdf_loss'])).all()
             stamp(f'train multi K={K} (batch {bsz})', t0)

@@ -21,6 +21,7 @@ def _fetch(x):
 def main():
     slab = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     use_pallas = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    pc = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
@@ -40,7 +41,8 @@ def main():
     enc = ex._encode(ex.state, jnp.asarray(img))
     dargs = (ex.state.params['sdf_decoder'], enc['vox_feat'],
              enc['feat_l2'], enc['trans_mat'], 128)
-    kw = dict(slab=slab, scan_unroll=1, use_pallas=use_pallas)
+    kw = dict(slab=slab, scan_unroll=1, use_pallas=use_pallas,
+              percep_collapse=pc)
 
     _fetch(dense_grid_sdf(*dargs, **kw)[0, 0, 0])  # compile
     ts = []
@@ -56,7 +58,8 @@ def main():
         _fetch(dense_grid_sdf(*dargs, **kw)[0, 0, 0])
     jax.profiler.stop_trace()
     print(json.dumps({'decode_s': round(float(np.median(ts)), 4),
-                      'slab': slab, 'use_pallas': use_pallas}), flush=True)
+                      'slab': slab, 'use_pallas': use_pallas,
+                      'percep_collapse': pc}), flush=True)
 
 
 if __name__ == '__main__':

@@ -287,6 +287,15 @@ def _build_parser() -> ArgumentParser:
                              'tools/probe_collapse_select.py, but the '
                              'layout copies do not reproduce outside the '
                              'step).')
+    parser.add_argument('--fc0_dmajor', type=int, default=0,
+                        help='Training sampler layout: 1 lays displaced '
+                             'queries out tap-minor so each scale\'s '
+                             'sample block reshapes to (B, N, 7*C) with '
+                             'NO transpose, and permutes the fc_0 KERNEL '
+                             'rows to compensate (exact; checkpoint-'
+                             'compatible — ops/sampling.py '
+                             'fc0_dmajor_perm). In-step A/B knob for the '
+                             'per-scale sample relayout copies.')
     parser.add_argument('--remat_save_samples', type=int, default=0,
                         help='Under decode remat, save the named sampled '
                              'feature stacks instead of recomputing them: '

@@ -151,6 +151,10 @@ class LIST(nn.Module):
     # instead of the f32-weight einsum (in-step A/B of the r4 trace's
     # layout-copy lead; ops/sampling.py _sample_collapsed_one).
     collapse_select: bool = False
+    # --fc0_dmajor: tap-minor training sampler layout + fc_0 kernel-row
+    # permutation — kills the per-scale (B,7,N,C)->(B,N,C,7) sample
+    # relayouts by permuting the 3610x512 WEIGHT instead (exact).
+    fc0_dmajor: bool = False
     # --remat_save_samples: under decode remat, SAVE the named sampled
     # stacks ('decode_vox', optionally 'decode_percep') instead of
     # recomputing them — the remat backward then skips the forward
@@ -183,6 +187,7 @@ class LIST(nn.Module):
                    collapse_samples=_cs[0], collapse_samples_halo=_cs[1],
                    collapse_select=bool(
                        int(getattr(config, 'collapse_select', 0))),
+                   fc0_dmajor=bool(int(getattr(config, 'fc0_dmajor', 0))),
                    remat_save_samples=int(
                        getattr(config, 'remat_save_samples', 0)),
                    train_query_chunks=int(
@@ -208,7 +213,8 @@ class LIST(nn.Module):
                                          collapse_halo=tuple(
                                              self.collapse_samples_halo),
                                          collapse_select=bool(
-                                             self.collapse_select))
+                                             self.collapse_select),
+                                         fc0_dmajor=bool(self.fc0_dmajor))
         self.percep_pooling = PerceptualPooling()
         enc_kw = ({} if self.im_filters is None
                   else dict(filters=tuple(self.im_filters),

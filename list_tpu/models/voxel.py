@@ -196,6 +196,29 @@ def sample_multiscale(feat: Sequence[jnp.ndarray], p: jnp.ndarray,
     return out.reshape(B, N, -1)
 
 
+class _Fc0PermDense(nn.Module):
+    """fc_0 with the kernel rows gathered through a static permutation.
+
+    Param tree, shapes and initializer draws are IDENTICAL to
+    ``nn.Dense(features, name='fc_0')`` (same path -> same init RNG), so
+    checkpoints are interchangeable; only the apply gathers kernel rows:
+    ``y = x_natural @ kernel[perm] + bias`` == the reference-ordered
+    ``x_ref @ kernel + bias``.  Permuting the (3610, 512) WEIGHT is how
+    --fc0_dmajor avoids relaying the ~700 MB sampled-feature stack."""
+    features: int
+    perm: Optional[tuple] = None  # natural input pos -> reference row
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.param('kernel', torch_linear_kernel,
+                       (x.shape[-1], self.features))
+        b = self.param('bias', make_torch_bias(x.shape[-1]),
+                       (self.features,))
+        if self.perm is not None:
+            k = jnp.take(k, jnp.asarray(np.asarray(self.perm)), axis=0)
+        return x @ k + b
+
+
 class VoxelDecoder2(nn.Module):
     """SDF head. Returns (B, N) raw SDF values (in sdf_scale units)."""
     h_dim: int = 256
@@ -210,12 +233,17 @@ class VoxelDecoder2(nn.Module):
     # --collapse_select: bf16 0/1-select + f32-lerp extraction (in-step
     # A/B of r5 lead #1; exact select, different f32 association).
     collapse_select: bool = False
+    # --fc0_dmajor: tap-minor packed sampling (no per-scale output
+    # transposes) + fc_0 kernel-row permutation (ops/sampling.py
+    # fc0_dmajor_perm).  Exact; training packed path only.
+    fc0_dmajor: bool = False
 
     @nn.compact
     def __call__(self, p: jnp.ndarray, feat: Sequence[jnp.ndarray],
                  percep_feat: jnp.ndarray, vox_meta=None) -> jnp.ndarray:
         # p: (B, N, 3); percep_feat: (B, N, 1024).  vox_meta: fold-pack
         # metadata when ``feat`` is in the lane-dense training layout.
+        dmajor = bool(self.fc0_dmajor) and vox_meta is not None
         if vox_meta is not None:
             from list_tpu.ops.sampling import sample_multiscale_packed
             vox = sample_multiscale_packed(
@@ -223,7 +251,8 @@ class VoxelDecoder2(nn.Module):
                 fuse_group=self.fuse_gather,
                 collapse_set=self.collapse_set,
                 collapse_halo=self.collapse_halo,
-                collapse_select=self.collapse_select)
+                collapse_select=self.collapse_select,
+                dmajor=dmajor)
         else:
             vox = sample_multiscale(feat, p, self.delta)
         # Named for the selective decode-remat policy
@@ -237,7 +266,19 @@ class VoxelDecoder2(nn.Module):
         x = jnp.concatenate([vox, percep_feat, p], axis=-1)
         dims = [self.h_dim * 2, self.h_dim, self.h_dim]
         names = ['fc_0', 'fc_1', 'fc_2']
+        perm = None
+        if dmajor:
+            from list_tpu.ops.sampling import fc0_dmajor_perm
+            n_vox = vox.shape[-1]
+            perm = np.concatenate([
+                fc0_dmajor_perm([m[3] for m in vox_meta]),
+                np.arange(n_vox, x.shape[-1], dtype=np.int64)])
+            assert perm.shape[0] == x.shape[-1]
         for dim, name in zip(dims, names):
+            if name == 'fc_0' and perm is not None:
+                x = nn.relu(_Fc0PermDense(dim, perm=tuple(perm.tolist()),
+                                          name='fc_0')(x))
+                continue
             x = nn.relu(nn.Dense(dim, kernel_init=torch_linear_kernel,
                                  bias_init=make_torch_bias(x.shape[-1]),
                                  name=name)(x))

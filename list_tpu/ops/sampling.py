@@ -550,12 +550,27 @@ def _fused_sample_packed(packed_feats, metas, pd: jnp.ndarray, group: int):
     return samples
 
 
+def fc0_dmajor_perm(channels) -> np.ndarray:
+    """Natural-order -> reference fc_0 row map for the d-major sampler
+    layout: natural feature index (scale-major, then displacement, then
+    channel) d*C + c maps to reference row (offset + c)*7 + d."""
+    perm = []
+    off = 0
+    for C in channels:
+        for d in range(7):
+            for c in range(C):
+                perm.append((off + c) * 7 + d)
+        off += C
+    return np.asarray(perm, np.int64)
+
+
 def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
                              delta: float = 0.0722,
                              fuse_group: int = 0,
                              collapse_set=(),
                              collapse_halo=(),
-                             collapse_select: bool = False) -> jnp.ndarray:
+                             collapse_select: bool = False,
+                             dmajor: bool = False) -> jnp.ndarray:
     """Packed equivalent of models.voxel.sample_multiscale: same 7
     displacement taps, same (c*7+d) channel ordering, same numerics.
 
@@ -569,12 +584,23 @@ def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
     collapse_set: scale indices whose entry in ``packed_feats`` is a
     corner-COLLAPSED volume (``collapse_corners``); those scales gather one
     row per tap instead of eight corner rows.  collapse_halo: indices
-    collapsed in 'halo' mode (x window only; four rows per tap)."""
+    collapsed in 'halo' mode (x window only; four rows per tap).
+
+    dmajor=True (--fc0_dmajor): displaced queries are laid out tap-MINOR
+    ((B, N, 7) flattening) so each scale's (B, N*7, C) sample block
+    reshapes to (B, N, 7*C) with NO transpose — the per-scale
+    (B, 7, N, C) -> (B, N, C, 7) relayout copies disappear from fwd AND
+    bwd.  The feature order then differs from the reference fc_0 rows;
+    the consumer permutes the fc_0 KERNEL rows instead (fc0_dmajor_perm
+    — 3610x512 of weights vs ~700 MB of samples).  Exact same math."""
     from list_tpu.models.voxel import make_displacements
 
     B, N, _ = p.shape
     disp = jnp.asarray(make_displacements(delta), p.dtype)  # (7, 3)
-    pd = (p[:, None, :, :] + disp[None, :, None, :]).reshape(B, 7 * N, 3)
+    if dmajor:
+        pd = (p[:, :, None, :] + disp[None, None, :, :]).reshape(B, N * 7, 3)
+    else:
+        pd = (p[:, None, :, :] + disp[None, :, None, :]).reshape(B, 7 * N, 3)
     collapse_set = frozenset(collapse_set)
     collapse_halo = frozenset(collapse_halo) - collapse_set
     samples = {i: _sample_collapsed_one(packed_feats[i], metas[i], pd,
@@ -594,6 +620,12 @@ def sample_multiscale_packed(packed_feats, metas, p: jnp.ndarray,
         for i in rest:
             samples[i] = _sample_packed_one(packed_feats[i], metas[i], pd,
                                             fuse_planes=fuse_group == 1)
+    if dmajor:
+        # (B, N*7, C) with tap-minor rows -> (B, N, 7*C): pure reshape
+        out = jnp.concatenate(
+            [samples[i].reshape(B, N, 7 * metas[i][3])
+             for i in range(len(metas))], axis=-1)
+        return out
     outs = []
     for i, meta in enumerate(metas):
         s = samples[i].reshape(B, 7, N, meta[3])

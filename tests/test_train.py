@@ -410,3 +410,32 @@ def test_dense_plan_selection(monkeypatch):
     assert plan(192) == (64, 0, 1)           # multi-slab: XLA head wins
     assert plan(256) == (8, 0, 2)
     assert plan(15) == (None, 0, 1)
+
+
+def test_fc0_dmajor_parity():
+    """--fc0_dmajor: tap-minor sampling + fc_0 kernel-row permutation must
+    reproduce the reference-layout step — identical param tree/init, same
+    losses up to matmul reassociation (the fc_0 contraction sums the same
+    products in a permuted order)."""
+    results = {}
+    for dm in (0, 1):
+        cfg = tiny_cfg(fc0_dmajor=dm)
+        model = LIST.from_config(cfg)
+        model = model.clone(point_feat=tuple(cfg.point_feat),
+                            point_degree=tuple(cfg.point_degree),
+                            im_enc_layers=tuple(cfg.im_enc_layers),
+                            h_dim=8, support=2)
+        ex = LISTExecutor(cfg, model)
+        batch, _ = make_batch(cfg)
+        ex.init_state(batch)
+        if dm == 0:
+            p0 = jax.tree.map(np.asarray, ex.state.params)
+        else:
+            # identical param trees + identical init draws (same paths)
+            p1 = jax.tree.map(np.asarray, ex.state.params)
+            jax.tree.map(np.testing.assert_array_equal, p0, p1)
+        _, losses = ex.train(batch)
+        results[dm] = {k: float(v) for k, v in losses.items()}
+    for k in results[0]:
+        np.testing.assert_allclose(results[1][k], results[0][k], rtol=2e-5,
+                                   err_msg=f'loss {k} diverged under dmajor')

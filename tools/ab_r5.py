@@ -57,7 +57,8 @@ def run_variant(spec: str, bsz: int, batch_np):
         fuse_sample_gathers=int(ov.pop('fuse', 0 if bsz <= 4 else 1)),
         remat_save_samples=int(ov.pop('save', 0 if bsz <= 4 else 1)),
         collapse_samples=ov.pop('collapse', 'auto'),
-        collapse_select=int(ov.pop('sel', 0)))
+        collapse_select=int(ov.pop('sel', 0)),
+        fc0_dmajor=int(ov.pop('dmajor', 0)))
     assert not ov, f'unknown overrides: {ov}'
     model = LIST.from_config(cfg)
     ex = LISTExecutor(cfg, model)

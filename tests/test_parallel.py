@@ -147,3 +147,40 @@ def test_fused_sampler_data_sharded_matches_single():
     p_s = jax.device_put(p, sh)
     b = np.asarray(fn(packed_s, p_s))
     np.testing.assert_allclose(b, a, atol=1e-6, rtol=1e-6)
+
+
+def test_predict_grid_band_sharded_matches_single():
+    """Executor-level multi-device predict with the band wire (the r5
+    default --fetch_mode): the sharded dense decode + in-jit band encode
+    must reconstruct the same grid classes/mesh values as a single-device
+    grid-mode predict."""
+    from list_tpu.config import default_config
+    from list_tpu.models import LIST
+    from list_tpu.ops.band import BandGrid, fetch_grid_f32
+    from list_tpu.train.executors import LISTExecutor
+
+    cfg = default_config(vox_res=16, img_res=32, sample_point_density=128,
+                         point_feat=[128, 8, 8, 3], point_degree=[2, 2, 4],
+                         im_enc_layers=[1, 1, 1, 1, 2, 4, 4, 4],
+                         sdf_scale=10.0, test_pointnum=1024,
+                         train_batch_size=1)
+    model = LIST(vox_res=16, point_feat=tuple(cfg.point_feat),
+                 point_degree=tuple(cfg.point_degree),
+                 im_enc_layers=tuple(cfg.im_enc_layers), h_dim=8, support=2)
+    img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+
+    ex1 = LISTExecutor(cfg, model, mesh=make_mesh((1,)))
+    ex1.init_state({'rgb_image': img})
+    full = ex1.predict_grid(img, fetch_dtype='bfloat16', fetch_mode='grid')
+
+    ex2 = LISTExecutor(cfg, model, mesh=make_mesh((2, 2)))
+    ex2.state = jax.device_put(
+        ex1.state, jax.sharding.NamedSharding(ex2.mesh, P()))
+    dev = ex2.predict_grid(img, fetch_dtype='bfloat16', fetch_mode='band',
+                           device_out=True)
+    assert isinstance(dev, BandGrid)
+    band = fetch_grid_f32(dev)
+    np.testing.assert_array_equal(band > 0, full > 0)
+    from list_tpu.ops.band import _mixed_cube_mask
+    mask = _mixed_cube_mask(full > 0)
+    np.testing.assert_array_equal(band[mask], full[mask])
